@@ -1,16 +1,20 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Set platform/device-count env vars before JAX initializes so sharding tests
-can build a Mesh without TPU hardware.
+The environment's sitecustomize pins JAX_PLATFORMS=axon (the TPU
+tunnel), so env vars alone don't stick — override through jax.config
+before any backend initializes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

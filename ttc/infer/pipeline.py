@@ -1,0 +1,134 @@
+"""End-to-end tile prediction: smoothed datacube -> tree-cover raster.
+
+One jitted device program replaces the reference's serial host loop
+(reference: src/download_and_predict_job.py:1125-1483,1515-1641):
+
+  1. 12 monthly steps -> 4 quarterly medians (S2+indices and S1)
+  2. assemble + reflect-pad + gather all 36 overlapping windows
+  3. normalize and run the ConvGRU U-Net on the whole window batch
+  4. per-window post-processing: bright-surface attenuation, clear-image
+     no-data masking
+  5. Gaussian + agreement-weighted mosaic to a uint8 raster
+
+The predictor is shape-static, so it compiles once per tile geometry and
+streams tiles at full MXU utilization.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttc.core.bands import NORM_MAX, NORM_MIN
+from ttc.core.config import InferenceConfig
+from ttc.core.windows import window_offsets
+from ttc.infer.mosaic import NODATA, mosaic_predictions
+from ttc.infer.windows import build_model_inputs, extract_windows, normalize, pad_tile
+from ttc.models.unet import TreeCoverNet
+from ttc.ops.morphology import dilate, erode
+from ttc.preprocess.masks import bright_surface_weight
+
+
+def quarterly_medians(monthly):
+    """(12, H, W, C) -> (4, H, W, C) median of each 3-month group
+    (reference: download_and_predict_job.py:1274-1283)."""
+    t, h, w, c = monthly.shape
+    assert t == 12
+    return jnp.median(monthly.reshape(4, 3, h, w, c), axis=1)
+
+
+def clear_count_mask(clear_window, out_size: int):
+    """Per-window no-data mask from clear-image counts.
+
+    clear_window: (in, in) count of clear acquisitions per pixel for one
+    window (including halo). Returns (out_size, out_size) bool: True
+    where predictions must become nodata
+    (reference: download_and_predict_job.py:1450-1464).
+    """
+    inner = clear_window[6:-6, 6:-6]
+    no_img = (inner < 1).astype(jnp.float32)
+    no_img = dilate(erode(no_img, 6, cross=False), 6, cross=False)
+
+    n = inner.shape[0]
+    block = n // 4
+    blocks = no_img.reshape(4, block, 4, block).sum(axis=(1, 3))
+    flag = blocks > (block * block) * 0.25
+    up = jnp.repeat(jnp.repeat(flag, block, axis=0), block, axis=1)
+    return up[1:-1, 1:-1]
+
+
+class TilePredictor:
+    """Compiled tile-inference program.
+
+    Usage:
+        predictor = TilePredictor(params)
+        raster = predictor(s2_monthly, s1_monthly, slope,
+                           s2_median, s1_median, clear_count)
+    """
+
+    def __init__(self, params, cfg: InferenceConfig | None = None,
+                 model: TreeCoverNet | None = None,
+                 window_batch: int = 36):
+        self.cfg = cfg or InferenceConfig()
+        self.model = model or TreeCoverNet()
+        self.params = params
+        self.window_batch = window_batch
+        self._fn = jax.jit(functools.partial(predict_tile,
+                                             model=self.model,
+                                             cfg=self.cfg))
+
+    def __call__(self, s2_monthly, s1_monthly, slope, s2_median,
+                 s1_median, clear_count):
+        return self._fn(self.params, s2_monthly, s1_monthly, slope,
+                        s2_median, s1_median, clear_count)
+
+
+def predict_tile(params, s2_monthly, s1_monthly, slope, s2_median,
+                 s1_median, clear_count, *, model: TreeCoverNet,
+                 cfg: InferenceConfig):
+    """The jitted program. Arguments:
+
+    s2_monthly: (12, H, W, 14) smoothed S2 bands + indices
+    s1_monthly: (12, H, W, 2) S1 dB
+    slope:      (H, W) DEM slope / 90
+    s2_median:  (H, W, 14) annual medians of the raw (pre-smoothing) cube
+    s1_median:  (H, W, 2)
+    clear_count:(H, W) number of clear acquisitions per pixel
+    """
+    s2_q = quarterly_medians(s2_monthly)
+    s1_q = quarterly_medians(s1_monthly)
+
+    batch, offsets = build_model_inputs(
+        s2_q, s1_q, s2_median, s1_median, slope, cfg)   # (36,5,in,in,17)
+
+    norm = normalize(batch, NORM_MIN, NORM_MAX)
+    preds = model.apply(params, norm)                    # (36, out, out)
+    preds = preds.astype(jnp.float32)
+
+    # bright bare-surface attenuation on unnormalized windows
+    bright = jax.vmap(
+        lambda w: bright_surface_weight(w, cfg.halo))(batch)
+    preds = preds * bright
+
+    # no-data from clear-image counts
+    clear_pad = pad_tile(clear_count[..., None], cfg.halo)[..., 0]
+    clear_wins = extract_windows(clear_pad[..., None], offsets,
+                                 cfg.in_size)[..., 0]
+    nodata_mask = jax.vmap(
+        lambda cw: clear_count_mask(cw, cfg.out_size))(clear_wins)
+
+    # whole-window kill: median clear count < 1
+    window_dead = jnp.median(
+        clear_wins.reshape(clear_wins.shape[0], -1), axis=1) < 1
+    preds = jnp.where(window_dead[:, None, None], NODATA, preds)
+    preds = jnp.where(nodata_mask, NODATA, preds)
+
+    return mosaic_predictions(preds, cfg)
+
+
+def predict_windows(params, batch, model: TreeCoverNet):
+    """Plain batched forward on pre-normalized windows (benchmark /
+    feature-extraction entry)."""
+    return model.apply(params, batch)
