@@ -29,7 +29,21 @@ def load_reference_fns(relpath: str, names: list[str], extra_ns=None):
         raise KeyError(f"{missing} not found in {relpath}")
     mod = ast.Module(body=selected, type_ignores=[])
     code = compile(ast.fix_missing_locations(mod), f"<ref:{relpath}>", "exec")
-    ns = {"np": np, "math": math, "sqrt": math.sqrt}
+    from scipy.ndimage import distance_transform_edt
+
+    class _NumpyCompat:
+        """numpy proxy restoring the removed np.bool/np.float aliases
+        that old reference code uses."""
+
+        bool = bool
+        float = float
+        int = int
+
+        def __getattr__(self, item):
+            return getattr(np, item)
+
+    ns = {"np": _NumpyCompat(), "math": math, "sqrt": math.sqrt,
+          "distance": distance_transform_edt}
     if extra_ns:
         ns.update(extra_ns)
     exec(code, ns)
