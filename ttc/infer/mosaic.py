@@ -6,8 +6,15 @@ fspecial(out_size, 36) blending weights, per-window agreement
 reweighting (median/|delta| capped at 1.5x), weighted nansum, <=15 -> 0
 thresholding, 255 nodata with 10-iteration dilation — all as dense
 (N, H, W) tensor ops instead of a host loop over .npy files.
+
+The window extents and Gaussian weight layers depend only on the static
+geometry, so they are precomputed host-side as numpy literals — XLA
+embeds them as constants instead of spending compile time folding 36
+large scatter ops.
 """
 from __future__ import annotations
+
+import functools
 
 import jax.numpy as jnp
 import numpy as np
@@ -20,19 +27,30 @@ from ttc.ops.morphology import dilate
 NODATA = 255.0
 
 
-def _dense_windows(preds, offsets, cfg: InferenceConfig):
-    """Scatter (N, S, S) window predictions into (N, H, W) dense layers
-    (zeros outside each window extent) plus the extent mask."""
-    n = preds.shape[0]
-    hw = cfg.tile_px
-    s = cfg.out_size
-    dense = jnp.zeros((n, hw, hw), preds.dtype)
-    extent = jnp.zeros((n, hw, hw), preds.dtype)
+@functools.lru_cache(maxsize=8)
+def _static_layers(tile_px: int, out_size: int, n_rows: int,
+                   sigma: float):
+    """Precomputed (N, H, W) extent masks and Gaussian weight layers."""
+    offsets = window_offsets(tile_px, out_size, n_rows)
+    n = len(offsets)
+    extent = np.zeros((n, tile_px, tile_px), np.float32)
+    gauss_l = np.zeros((n, tile_px, tile_px), np.float32)
+    gauss = fspecial_gauss(out_size, sigma)
     for i, (ox, oy) in enumerate(offsets):
-        ox, oy = int(ox), int(oy)
-        dense = dense.at[i, ox:ox + s, oy:oy + s].set(preds[i])
-        extent = extent.at[i, ox:ox + s, oy:oy + s].set(1.0)
-    return dense, extent
+        extent[i, ox:ox + out_size, oy:oy + out_size] = 1.0
+        gauss_l[i, ox:ox + out_size, oy:oy + out_size] = gauss
+    return offsets, extent, gauss_l
+
+
+def scatter_windows(preds, offsets, tile_px: int):
+    """(N, S, S) window values -> (N, H, W) dense layers (zeros outside
+    each window extent)."""
+    n, s = preds.shape[0], preds.shape[1]
+    dense = jnp.zeros((n, tile_px, tile_px), preds.dtype)
+    for i, (ox, oy) in enumerate(offsets):
+        dense = dense.at[i, int(ox):int(ox) + s,
+                         int(oy):int(oy) + s].set(preds[i])
+    return dense
 
 
 def mosaic_predictions(preds, cfg: InferenceConfig | None = None,
@@ -40,17 +58,17 @@ def mosaic_predictions(preds, cfg: InferenceConfig | None = None,
     """Blend (N, S, S) float predictions in [0, 1] (or NODATA) into a
     (H, W) uint8 raster 0-100 with 255 nodata."""
     cfg = cfg or InferenceConfig()
-    offsets = window_offsets(cfg.tile_px, cfg.out_size, cfg.n_rows)
-    gauss = jnp.asarray(fspecial_gauss(cfg.out_size, cfg.gauss_sigma))
+    offsets, extent_np, gauss_np = _static_layers(
+        cfg.tile_px, cfg.out_size, cfg.n_rows, cfg.gauss_sigma)
+    extent = jnp.asarray(extent_np)
+    g = jnp.asarray(gauss_np)
 
     # scale to 0-100, keep NODATA sentinel (reference :1576)
     scaled = jnp.where(preds >= NODATA, NODATA, preds * 100.0)
-    p, extent = _dense_windows(scaled, offsets, cfg)
+    p = scatter_windows(scaled, offsets, cfg.tile_px)
 
-    g, _ = _dense_windows(
-        jnp.broadcast_to(gauss[None], preds.shape), offsets, cfg)
     # zero blending weight where the window is nodata (reference :1582)
-    w = g * extent * (p <= 100.0)
+    w = g * (p <= 100.0)
 
     if agreement_reweight:
         # ratio_i = mean |mean_others - p_i| over window i's extent,

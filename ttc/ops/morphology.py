@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _SQRT2 = 1.4142135623730951
@@ -101,9 +102,10 @@ def capped_edt(zero_mask, cap: float):
     src/download_and_predict_job.py:1117-1119).
     """
     zero_mask = zero_mask.astype(bool)
+    cap = float(cap)
     big = cap + 2.0
     d = jnp.where(zero_mask, 0.0, big)
-    iters = int(jnp.ceil(cap)) + 1
+    iters = int(np.ceil(cap)) + 1
 
     def body(_, d):
         up = jnp.roll(d, 1, axis=-2).at[..., 0, :].set(big)
