@@ -29,7 +29,12 @@ def load_reference_fns(relpath: str, names: list[str], extra_ns=None):
         raise KeyError(f"{missing} not found in {relpath}")
     mod = ast.Module(body=selected, type_ignores=[])
     code = compile(ast.fix_missing_locations(mod), f"<ref:{relpath}>", "exec")
-    from scipy.ndimage import distance_transform_edt
+    from scipy.ndimage import (
+        binary_dilation,
+        distance_transform_edt,
+        generate_binary_structure,
+        grey_closing,
+    )
 
     class _NumpyCompat:
         """numpy proxy restoring the removed np.bool/np.float aliases
@@ -43,7 +48,10 @@ def load_reference_fns(relpath: str, names: list[str], extra_ns=None):
             return getattr(np, item)
 
     ns = {"np": _NumpyCompat(), "math": math, "sqrt": math.sqrt,
-          "distance": distance_transform_edt}
+          "distance": distance_transform_edt,
+          "binary_dilation": binary_dilation,
+          "generate_binary_structure": generate_binary_structure,
+          "grey_closing": grey_closing}
     if extra_ns:
         ns.update(extra_ns)
     exec(code, ns)

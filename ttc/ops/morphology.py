@@ -18,14 +18,20 @@ from jax import lax
 _SQRT2 = 1.4142135623730951
 
 
-def _pool(x, op, init, size=3):
-    """2D reduce_window over the last two axes."""
+def _pool(x, op, init, size=3, mirror_origin: bool = False):
+    """2D reduce_window over the last two axes. For even window sizes
+    the pad split follows scipy's footprint origin (left = size//2);
+    `mirror_origin` flips it (scipy mirrors the structure for the
+    erosion half of closings/openings)."""
     nd = x.ndim
     dims = [1] * nd
     dims[-2] = size
     dims[-1] = size
     strides = [1] * nd
-    pads = [(0, 0)] * (nd - 2) + [(size // 2, size // 2)] * 2
+    lo, hi = size // 2, (size - 1) // 2
+    if mirror_origin:
+        lo, hi = hi, lo
+    pads = [(0, 0)] * (nd - 2) + [(lo, hi)] * 2
     return lax.reduce_window(x, init, op, dims, strides, pads)
 
 
@@ -76,10 +82,10 @@ def binary_closing_then_opening(x, close_iters: int, open_iters: int,
 
 def grey_closing(x, size: int):
     """Greyscale closing with a size x size square window
-    (dilate = max pool, then erode = min pool with edge padding to match
-    scipy's reflect-style border handling closely)."""
+    (dilate = max pool, then erode = min pool with the mirrored origin,
+    matching scipy's structure reflection for even sizes)."""
     d = _pool(x, lax.max, -jnp.inf, size)
-    e = -_pool(-d, lax.max, -jnp.inf, size)
+    e = -_pool(-d, lax.max, -jnp.inf, size, mirror_origin=True)
     return e
 
 
