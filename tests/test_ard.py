@@ -1,0 +1,109 @@
+"""End-to-end ARD + inference integration on the fixture backend."""
+import numpy as np
+import pytest
+
+import jax
+
+from ttc.core.config import InferenceConfig
+from ttc.infer.pipeline import TilePredictor
+from ttc.io.acquisition import (
+    FixtureBackend,
+    check_for_alt_img,
+    extract_dates,
+    s1_quarterly_to_monthly,
+    screen_cloud_previews,
+    to_float32_strict,
+    to_int16_strict,
+)
+from ttc.models.unet import TreeCoverNet
+from ttc.preprocess.ard import process_tile, smooth_tile
+
+
+def test_extract_dates_matches_reference():
+    from tests.reference_harness import load_reference_fns, reference_available
+    if not reference_available():
+        pytest.skip("no reference")
+    import datetime
+
+    fns = load_reference_fns("src/tof/tof_downloading.py",
+                             ["extract_dates"])
+    dd = [datetime.date(2023, 1, 5), datetime.date(2023, 6, 20),
+          datetime.date(2022, 12, 28), datetime.date(2024, 1, 3)]
+    assert extract_dates(dd, 2023) == fns["extract_dates"](dd, 2023)
+
+
+def test_int16_roundtrip_strict(rng):
+    x = rng.random((4, 8, 8)).astype(np.float32)
+    enc = to_int16_strict(x)
+    dec = to_float32_strict(enc)
+    np.testing.assert_allclose(dec, x, atol=1.0 / 65535)
+
+
+def test_check_for_alt_img_matches_reference():
+    from tests.reference_harness import load_reference_fns, reference_available
+    if not reference_available():
+        pytest.skip("no reference")
+    fns = load_reference_fns("src/tof/tof_downloading.py",
+                             ["_check_for_alt_img"])
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        n = rng.integers(2, 12)
+        dates = np.sort(rng.choice(np.arange(0, 365), n, replace=False))
+        probs = rng.random(n)
+        d = dates[rng.integers(0, n)]
+        assert check_for_alt_img(probs, dates, d) == \
+            fns["_check_for_alt_img"](probs, dates, d)
+
+
+def test_screen_cloud_previews(rng):
+    t = 8
+    img = rng.random((t, 40, 40)).astype(np.float32) * 30
+    img[3] = 90.0            # very cloudy date -> dropped
+    img[5, 15:25, 15:25] = 255  # nodata center -> dropped
+    dates = np.arange(10, 10 + t * 40, 40)
+    out_img, pct, out_dates, local = screen_cloud_previews(img, dates)
+    # >50% cloud date dropped; nodata-in-center survives (the
+    # reference's mean>10 removal rule is inert and replicated as-is)
+    assert dates[3] not in out_dates
+    assert dates[5] in out_dates
+    assert out_img.max() <= 1.0
+    assert len(pct) == len(out_dates) == len(local)
+    # the nodata block doesn't poison the cloud stats (nan-ignored)
+    assert np.isfinite(pct).all()
+
+
+def test_s1_monthly_regrid(rng):
+    q = rng.random((4, 16, 16, 2)).astype(np.float32)
+    monthly = s1_quarterly_to_monthly(q, np.array([45, 136, 227, 318]))
+    assert monthly.shape == (12, 16, 16, 2)
+    assert np.isfinite(monthly).all()
+
+
+@pytest.mark.slow
+def test_full_ard_to_prediction():
+    """Fixture raw tile -> ARD -> smoothed -> tree cover raster."""
+    backend = FixtureBackend(seed=1, n_dates=9, hw=110)
+    raw = backend.fetch(0, 0, None, 2023)
+    tile = process_tile(raw)
+    assert tile.s2.shape[-1] == 10
+    assert tile.s2.min() >= 0 and tile.s2.max() <= 1
+    assert tile.interp.shape == tile.s2.shape[:3]
+
+    sm = smooth_tile(tile)
+    assert sm.s2.shape == (12, 110, 110, 14)
+    assert np.isfinite(sm.s2).all()
+
+    # out_size must keep in_size = out+14 divisible by 4 (U-Net skip
+    # crops); 66 -> 80 works at 110 px tiles
+    cfg = InferenceConfig(tile_px=110, out_size=66, n_rows=3)
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    predictor = TilePredictor(params, cfg, model)
+    raster = np.asarray(predictor(
+        sm.s2, sm.s1, sm.dem, sm.s2_median, sm.s1_median,
+        sm.clear_count))
+    assert raster.shape == (110, 110)
+    assert raster.dtype == np.uint8
+    valid = raster[raster != 255]
+    assert len(valid) > 0 and valid.max() <= 100

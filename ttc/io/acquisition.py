@@ -1,0 +1,355 @@
+"""Acquisition layer: Sentinel-2 / Sentinel-1 / DEM ingestion.
+
+Host-side counterpart of the reference's SentinelHub client
+(reference: src/tof/tof_downloading.py). Split into:
+
+- pure numpy screening/packing helpers (testable offline):
+  extract_dates, screen_cloud_previews, check_for_alt_img,
+  strict uint16 codecs, S1 monthly regrid
+- AcquisitionBackend protocol with two implementations:
+  SentinelHubBackend (network, gated on the sentinelhub package +
+  credentials) and FixtureBackend (synthetic tiles for tests/benchs,
+  standing in at the raw-file schema boundary per SURVEY.md §4)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Protocol, Tuple
+
+import numpy as np
+
+from ttc.core.codecs import to_db
+from ttc.ops.regrid import apply_regrid, regrid_weights
+
+DAYS_PER_MONTH = [0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30]
+MONTH_START_DAYS = np.cumsum(DAYS_PER_MONTH)
+
+
+def extract_dates(date_list, year: int) -> List[int]:
+    """datetime-like list -> integer day-of-year (can be <0 / >365 for
+    neighbor years) (reference: tof_downloading.py:38-48)."""
+    out = []
+    for d in date_list:
+        out.append(int((d.year - year) * 365
+                       + MONTH_START_DAYS[d.month - 1] + d.day))
+    return out
+
+
+def to_int16_strict(array: np.ndarray) -> np.ndarray:
+    """[0,1] float -> uint16 via truncation
+    (reference: tof_downloading.py:51-61)."""
+    assert array.min() >= 0 and array.max() <= 1
+    return np.trunc(np.clip(array, 0, 1) * 65535).astype(np.uint16)
+
+
+def to_float32_strict(array: np.ndarray) -> np.ndarray:
+    if not isinstance(array.flat[0], np.floating):
+        assert array.max() > 1
+        array = np.float32(array) / 65535.0
+    assert array.max() <= 1
+    return np.float32(array)
+
+
+def check_for_alt_img(probs, dates, date) -> bool:
+    """True if a >=20%-clearer image exists within the surrounding
+    month +-28 days (reference: tof_downloading.py:225-254)."""
+    begin = np.array([-60, 31, 59, 90, 120, 151, 181, 212, 243, 273,
+                      304, 341])
+    end = np.array([31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 341,
+                    410])
+    begins = end - date
+    begins[begins < 0] = 999
+    sel = np.argmin(begins)
+    lower = min(date - 28, begin[sel])
+    upper = max(date + 28, end[sel])
+    cand = np.argwhere((dates >= lower) & (dates <= upper)
+                       & (dates != date))
+    if len(cand) == 0:
+        return False
+    this_prob = probs[np.argwhere(dates == date).flatten()]
+    return bool(np.min(probs[cand]) < (this_prob - 0.20).min())
+
+
+def screen_cloud_previews(cloud_img: np.ndarray, cloud_dates: np.ndarray,
+                          maxclouds: float = 0.4):
+    """Date screening from 640 m cloud-probability previews
+    (reference: tof_downloading.py:319-448 numpy logic):
+
+    - drop dates whose tile-center 10x10 window is all-nodata
+    - global cloud % (nodata-ignored) and local (30x30 center, dilated)
+    - drop >50% CC; harmonic-blend local into global when >40%;
+      drop > maxclouds; drop locally-cloudy dates with a clear
+      same-month alternative
+
+    Returns (cloud_img [0,1], cloud_percent, dates, local_clouds).
+    """
+    from scipy.ndimage import binary_dilation
+
+    cloud_img = np.float32(cloud_img)
+    cloud_dates = np.asarray(cloud_dates)
+    mid_x = cloud_img.shape[1] // 2
+    mid_y = cloud_img.shape[2] // 2
+
+    center = cloud_img[:, mid_x - 5:mid_x + 5, mid_y - 5:mid_y + 5]
+    no_data = np.mean(center == 255, axis=(1, 2))
+    bad = np.argwhere(no_data > 10).flatten()
+    if len(bad):
+        cloud_dates = np.delete(cloud_dates, bad)
+        cloud_img = np.delete(cloud_img, bad, 0)
+
+    img_nan = cloud_img.copy()
+    img_nan[img_nan == 255] = np.nan
+    cloud_percent = np.nanmean(img_nan, axis=(1, 2)) / 100
+
+    local = img_nan[:, mid_x - 15:mid_x + 15,
+                    mid_y - 15:mid_y + 15].copy() / 100
+    for i in range(local.shape[0]):
+        local[i] = binary_dilation(local[i])
+    local_clouds = np.nanmean(local, axis=(1, 2))
+
+    cloud_img = np.where(np.isnan(img_nan), 255.0, img_nan) / 255.0
+
+    keep = cloud_percent <= 0.5
+    cloud_img = cloud_img[keep]
+    cloud_percent = cloud_percent[keep]
+    cloud_dates = cloud_dates[keep]
+    local_clouds = local_clouds[keep]
+
+    high = cloud_percent > 0.4
+    cloud_percent[high] = (0.25 * cloud_percent[high]
+                           + 0.75 * local_clouds[high])
+    keep = cloud_percent <= maxclouds
+    cloud_img = cloud_img[keep]
+    cloud_percent = cloud_percent[keep]
+    cloud_dates = cloud_dates[keep]
+    local_clouds = local_clouds[keep]
+
+    to_remove = []
+    for idx, (d, lc) in enumerate(zip(cloud_dates, local_clouds)):
+        if lc > 0.40 and check_for_alt_img(local_clouds, cloud_dates, d):
+            to_remove.append(idx)
+    if to_remove:
+        cloud_dates = np.delete(cloud_dates, to_remove)
+        cloud_img = np.delete(cloud_img, to_remove, 0)
+        cloud_percent = np.delete(cloud_percent, to_remove)
+        local_clouds = np.delete(local_clouds, to_remove)
+
+    return (cloud_img.astype(np.float32), cloud_percent,
+            np.asarray(cloud_dates), local_clouds)
+
+
+def s1_quarterly_to_monthly(s1_quarters: np.ndarray,
+                            dates: np.ndarray) -> np.ndarray:
+    """(Q, H, W, 2) quarterly composites -> (12, H, W, 2) pseudo-monthly
+    medians via the biweekly regrid (reference:
+    tof_downloading.py:75-95)."""
+    weights, _ = regrid_weights(dates)
+    s24 = np.asarray(apply_regrid(s1_quarters.astype(np.float32),
+                                  weights))
+    monthly = np.zeros((12,) + s1_quarters.shape[1:], np.float32)
+    for m, (start, end) in enumerate(zip(range(0, 24, 2),
+                                         range(2, 26, 2))):
+        monthly[m] = np.median(s24[start:end], axis=0)
+    return monthly
+
+
+# ------------------------------------------------------------- backends
+
+@dataclasses.dataclass
+class RawTile:
+    """The raw-file schema boundary: everything process_tile consumes
+    (reference: download_and_predict_job.py:466-635 outputs)."""
+
+    s2_10: np.ndarray          # (T, H, W, 4) uint16
+    s2_20: np.ndarray          # (T, H/2, W/2, 6) uint16
+    s2_dates: np.ndarray       # (T,) int day-of-year
+    clouds: np.ndarray         # (T, h, w) float [0,1] preview probs
+    s1: np.ndarray             # (12, H, W, 2) float32 monthly dB [0,1]
+    s1_dates: np.ndarray       # (12,) int
+    dem: np.ndarray            # (H+2, W+2) float32 meters
+
+
+class AcquisitionBackend(Protocol):
+    def fetch(self, tile_x: int, tile_y: int, bbox, year: int) -> RawTile:
+        ...
+
+
+class FixtureBackend:
+    """Synthetic acquisition: reproducible vegetated scenes with
+    seasonal phenology, speckled S1, hilly DEM, and planted clouds."""
+
+    def __init__(self, seed: int = 0, n_dates: int = 10, hw: int = 158,
+                 cloud_fraction: float = 0.15):
+        self.seed = seed
+        self.n_dates = n_dates
+        self.hw = hw
+        self.cloud_fraction = cloud_fraction
+
+    def fetch(self, tile_x: int, tile_y: int, bbox, year: int) -> RawTile:
+        rng = np.random.default_rng(
+            self.seed * 7919 + tile_x * 31 + tile_y)
+        t, hw = self.n_dates, self.hw
+        dates = np.sort(rng.choice(np.arange(5, 360), t, replace=False))
+
+        base = rng.random((hw, hw)) * 0.05
+        season = 0.5 + 0.5 * np.sin(2 * np.pi * dates / 365.0)
+        s2 = np.zeros((t, hw, hw, 10), np.float32)
+        for i in range(t):
+            green = 0.25 + 0.1 * season[i]
+            s2[i, ..., 0] = 0.02 + base
+            s2[i, ..., 1] = 0.04 + base
+            s2[i, ..., 2] = 0.03 + base
+            s2[i, ..., 3] = green + base
+            s2[i, ..., 4:8] = 0.2 + 0.05 * season[i]
+            s2[i, ..., 7] = green * 0.9 + base
+            s2[i, ..., 8] = 0.12 + base
+            s2[i, ..., 9] = 0.07 + base / 2
+        s2 += rng.normal(0, 0.003, s2.shape).astype(np.float32)
+
+        clouds_prev = np.zeros((t, 28, 28), np.float32)
+        for i in range(t):
+            if rng.random() < self.cloud_fraction * 2:
+                cx, cy = rng.integers(4, hw - 40, 2)
+                sz = int(rng.integers(15, 45))
+                s2[i, cx:cx + sz, cy:cy + sz, :3] += 0.3
+                s2[i, cx:cx + sz, cy:cy + sz, 3:] += 0.15
+                clouds_prev[i, cx * 28 // hw:(cx + sz) * 28 // hw,
+                            cy * 28 // hw:(cy + sz) * 28 // hw] = 80.0
+        s2 = np.clip(s2, 0.01, 0.99)
+
+        q_dates = np.array([45, 136, 227, 318])
+        s1_lin = np.clip(
+            rng.gamma(4.0, 0.02, (4, hw, hw, 2)), 1e-4, 1.0)
+        s1 = s1_quarterly_to_monthly(to_db(s1_lin, 22), q_dates)
+
+        dem = (300 + 80 * np.sin(np.linspace(0, 4, hw + 2))[:, None]
+               + rng.normal(0, 2, (hw + 2, hw + 2))).astype(np.float32)
+
+        return RawTile(
+            s2_10=to_int16_strict(s2[..., :4]),
+            s2_20=to_int16_strict(
+                s2[:, ::2, ::2, 4:]),
+            s2_dates=dates,
+            clouds=clouds_prev / 100.0,
+            s1=s1.astype(np.float32),
+            s1_dates=np.arange(15, 360, 30),
+            dem=dem,
+        )
+
+
+# SentinelHub evalscript equivalents (server-side mosaicking config).
+# These reproduce the behavior of the reference's configured layers:
+# darkest-pixel orbit mosaics per band group, CLP-threshold cloud
+# preview, AOT/zenith data-quality, and cirrus screens
+# (reference: README.md:131-399).
+EVALSCRIPT_L2A10 = """//VERSION=3
+function setup() {
+  return {input: [{bands: ["B02","B03","B04","B08"], units: "DN"}],
+          output: {bands: 4, sampleType: "UINT16"},
+          mosaicking: "ORBIT"};
+}
+function evaluatePixel(samples) {
+  var best = null, darkest = 1e9;
+  for (var i = 0; i < samples.length; i++) {
+    var s = samples[i];
+    var b = s.B02 + s.B03 + s.B04;
+    if (b > 0 && b < darkest) { darkest = b; best = s; }
+  }
+  if (best === null) best = samples[0];
+  return [best.B02, best.B03, best.B04, best.B08];
+}
+"""
+
+EVALSCRIPT_L2A20 = """//VERSION=3
+function setup() {
+  return {input: [{bands: ["B05","B06","B07","B8A"], units: "DN"}],
+          output: {bands: 4, sampleType: "UINT16"},
+          mosaicking: "ORBIT"};
+}
+function evaluatePixel(samples) {
+  var best = null, darkest = 1e9;
+  for (var i = 0; i < samples.length; i++) {
+    var s = samples[i];
+    var b = s.B05 + s.B06 + s.B07;
+    if (b > 0 && b < darkest) { darkest = b; best = s; }
+  }
+  if (best === null) best = samples[0];
+  return [best.B05, best.B06, best.B07, best.B8A];
+}
+"""
+
+EVALSCRIPT_L2A40 = """//VERSION=3
+function setup() {
+  return {input: [{bands: ["B11","B12"], units: "DN"}],
+          output: {bands: 2, sampleType: "UINT16"},
+          mosaicking: "ORBIT"};
+}
+function evaluatePixel(samples) {
+  var best = null, darkest = 1e9;
+  for (var i = 0; i < samples.length; i++) {
+    var s = samples[i];
+    var b = s.B11 + s.B12;
+    if (b > 0 && b < darkest) { darkest = b; best = s; }
+  }
+  if (best === null) best = samples[0];
+  return [best.B11, best.B12];
+}
+"""
+
+EVALSCRIPT_CLOUD_PREVIEW = """//VERSION=3
+function setup() {
+  return {input: [{bands: ["CLP", "dataMask"]}],
+          output: {bands: 1, sampleType: "UINT8"}};
+}
+function evaluatePixel(sample) {
+  if (sample.dataMask === 0) return [255];
+  return [Math.round(100 * (sample.CLP / 255 > 0.67 ? 1 : 0))];
+}
+"""
+
+EVALSCRIPT_S1 = """//VERSION=3
+function setup() {
+  return {input: [{bands: ["VV", "VH"]}],
+          output: {bands: 2, sampleType: "FLOAT32"},
+          mosaicking: "ORBIT"};
+}
+function evaluatePixel(samples) {
+  var vv = 0, vh = 0, n = 0;
+  for (var i = 0; i < samples.length; i++) {
+    if (samples[i].VV > 0) { vv += samples[i].VV; vh += samples[i].VH; n++; }
+  }
+  if (n === 0) return [0, 0];
+  return [vv / n, vh / n];
+}
+"""
+
+
+class SentinelHubBackend:
+    """Live SentinelHub acquisition. Requires the `sentinelhub` package
+    and credentials — both gated; constructing without them raises a
+    clear error. Mirrors the request structure of the reference
+    (reference: tof_downloading.py:257-448,527-714,913-1140)."""
+
+    def __init__(self, instance_id: str = "", client_id: str = "",
+                 client_secret: str = ""):
+        try:
+            import sentinelhub  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "SentinelHubBackend requires the sentinelhub package; "
+                "use FixtureBackend for offline work") from e
+        from sentinelhub import SHConfig
+
+        cfg = SHConfig()
+        if instance_id:
+            cfg.instance_id = instance_id
+        if client_id:
+            cfg.sh_client_id = client_id
+            cfg.sh_client_secret = client_secret
+        self.config = cfg
+
+    def fetch(self, tile_x: int, tile_y: int, bbox, year: int) -> RawTile:
+        raise NotImplementedError(
+            "live acquisition requires network access; structure the "
+            "calls per band group with the EVALSCRIPT_* constants and "
+            "screen dates via screen_cloud_previews")
