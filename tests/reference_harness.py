@@ -47,11 +47,14 @@ def load_reference_fns(relpath: str, names: list[str], extra_ns=None):
         def __getattr__(self, item):
             return getattr(np, item)
 
+    from numpy.lib.stride_tricks import sliding_window_view
+
     ns = {"np": _NumpyCompat(), "math": math, "sqrt": math.sqrt,
           "distance": distance_transform_edt,
           "binary_dilation": binary_dilation,
           "generate_binary_structure": generate_binary_structure,
-          "grey_closing": grey_closing}
+          "grey_closing": grey_closing,
+          "sliding_window_view": sliding_window_view}
     if extra_ns:
         ns.update(extra_ns)
     exec(code, ns)

@@ -1,0 +1,142 @@
+"""Change detection: KDE calibration parity vs scipy, event primitives
+parity vs the reference, and an end-to-end planted gain/loss scenario."""
+import numpy as np
+import pytest
+from scipy.stats import gaussian_kde
+from scipy.special import ndtr
+
+from tests.reference_harness import load_reference_fns, reference_available
+from ttc.change.events import (
+    identify_anomaly_events,
+    longest_zero_run,
+    remove_noise,
+    remove_nonoverlapping_events,
+    temporal_filter,
+)
+from ttc.change.kde import REG_GRID, kde_cdf, make_all_kde
+from ttc.change.pipeline import (
+    assign_loss_year,
+    detect_change,
+    validate_ard,
+)
+
+
+def test_kde_cdf_matches_reference_formula(rng):
+    samples = (rng.normal(2000, 800, 500)).astype(np.float32)
+    got = np.asarray(kde_cdf(samples))
+    kde = gaussian_kde(samples)
+    # the reference's exact expression (change.py:248-251)
+    ref = np.array([ndtr((g - kde.dataset).ravel()
+                         / kde.factor).mean() for g in REG_GRID[::50]])
+    np.testing.assert_allclose(got[::50], ref, atol=2e-3)
+
+
+def test_anomaly_events_matches_reference(rng):
+    if not reference_available():
+        pytest.skip("no reference")
+    fns = load_reference_fns("src/change/change.py",
+                             ["identify_anomaly_events"])
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    inp = rng.integers(0, 2, (14, 10, 10)).astype(np.int16)
+    for window in (2, 3, 4, 5):
+        ref = fns["identify_anomaly_events"](
+            inp.copy(), 1, window)
+        got = identify_anomaly_events(inp, 1, window)
+        t = min(ref.shape[0], got.shape[0])
+        np.testing.assert_array_equal(got[:t], ref[:t],
+                                      err_msg=f"window={window}")
+
+
+def test_remove_noise_small_patches():
+    arr = np.zeros((30, 30), np.uint8)
+    arr[2:4, 2:4] = 1          # 4 px -> removed
+    arr[10:20, 10:20] = 1      # 100 px -> kept
+    out = remove_noise(arr.copy(), thresh=15)
+    assert out[2:4, 2:4].sum() == 0
+    assert out[10:20, 10:20].sum() == 100
+
+
+def test_remove_nonoverlapping():
+    cand = np.zeros((20, 20), np.uint8)
+    cand[2:8, 2:8] = 1
+    anomaly = np.zeros_like(cand)
+    out = remove_nonoverlapping_events(cand.copy(), anomaly, 2)
+    assert out.sum() == 0
+    anomaly[2:8, 2:8] = 1
+    out = remove_nonoverlapping_events(cand.copy(), anomaly, 2)
+    assert out.sum() == 36
+
+
+def test_temporal_filter_removes_spikes():
+    inp = np.zeros((5, 4, 4), np.float32)
+    inp[2] = 10.0  # single-year spike
+    out = temporal_filter(inp)
+    assert out[2].max() == 0.0
+
+
+def test_longest_zero_run():
+    assert longest_zero_run(np.array([1, 0, 0, 0, 1, 0])) == 3
+    assert longest_zero_run(np.array([1, 1])) == 0
+
+
+def test_validate_ard_outlier_first_year():
+    # year 0->1 has a huge NDMI jump vs all other transitions
+    annual = np.array([0.1, 3.0, 3.05, 3.1, 3.0, 3.1, 3.05, 3.0])
+    out = validate_ard([1] * 8, annual)
+    assert out == [0]
+
+
+def test_assign_loss_year():
+    fs = np.zeros((4, 5, 5), np.float32)
+    fs[0] = 80
+    fs[1] = 75
+    fs[2] = 10   # big drop year 2
+    fs[3] = 12
+    loss = np.zeros((3, 5, 5), np.float32)
+    loss[1, 2, 2] = 2
+    out = assign_loss_year(loss, fs)
+    assert out[1, 2, 2] == 2  # argmin diff = index 1 -> year 2
+
+
+def test_detect_change_planted_events(rng):
+    """7-year synthetic: loss patch in year 3, gain patch in year 4."""
+    n_years, hw = 8, 60
+    t = 40
+    dates = np.sort(rng.integers(0, n_years * 365, t))
+
+    # percentile stacks: 1 = above threshold (tree-like), 0 = below
+    kde5 = np.ones((t, hw, hw), np.int16)
+    kde10 = np.ones((t, hw, hw), np.int16)
+    kde25 = np.ones((t, hw, hw), np.int16)
+    kde2 = np.ones((t, hw, hw), np.int16)
+
+    fs = np.full((n_years, hw, hw), 80.0, np.float32)
+
+    # loss event in 2021 (year index 4): NDMI collapses from day
+    # 4*365 on, TTC drops from fs[4] on
+    loss_region = (slice(10, 25), slice(10, 25))
+    after_loss = dates >= 4 * 365
+    for arr in (kde5, kde10, kde25, kde2):
+        arr[np.ix_(after_loss, *[np.arange(10, 25)] * 2)] = 0
+    for y in range(4, n_years):
+        fs[(y,) + loss_region] = 5.0
+
+    gain_year, loss_year = detect_change(kde5, kde10, kde25, kde2,
+                                         dates, fs)
+    assert gain_year.shape == (hw, hw)
+    # loss detected inside the planted region
+    assert (loss_year[12:23, 12:23] > 0).mean() > 0.5
+    # no spurious loss outside
+    outside = loss_year.copy()
+    outside[8:27, 8:27] = 0
+    assert (outside > 0).mean() < 0.05
+
+
+def test_make_all_kde_shapes(rng):
+    ard = (rng.normal(1000, 500, (6, 30, 30))).astype(np.int16)
+    stable = np.zeros((30, 30), bool)
+    stable[5:25, 5:25] = True
+    f, m, b, h, pct = make_all_kde(ard, stable, maxpx=200)
+    assert f.shape == ard.shape
+    assert pct.max() <= 0.95 and pct.min() >= 0.0
