@@ -1,0 +1,173 @@
+"""Resegmentation: detect and repair seams between neighboring tiles.
+
+Re-implements the core of the four resegment_tiles_* scripts
+(reference: src/resegment_tiles_wide.py, resegment_tiles_north_wide.py
+and their *_feat variants):
+
+- check_if_artifact: binned edge-profile comparison of a tile's last
+  rows/cols against its neighbor's first (reference :675-710)
+- align_border_histograms: per-date mean/std alignment of the two
+  halves of the border strip, kept only when it reduces the seam step
+  (reference :284-343)
+- adjust_predictions: mean/std matching of new predictions to the
+  existing raster (reference :346-357)
+- blend_into_raster: Gaussian re-blend of strip predictions into the
+  two existing rasters, producing the _SMOOTH_X / _SMOOTH_Y outputs
+  (reference :1169-1550)
+
+In a multi-tile TPU deployment, tiles processed as one sharded block
+share halos and rarely need this; it remains for block boundaries and
+for repairing rasters produced tile-at-a-time.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ttc.ops.filters import fspecial_gauss
+
+NODATA = 255
+
+
+def _binned_profile(edge: np.ndarray) -> np.ndarray:
+    """Mean of 10-px bins along a 1-D edge strip, NaN-padded to a
+    multiple of 10 (reference :682-690)."""
+    edge = edge.astype(np.float32)
+    pad = (10 - (edge.shape[0] % 10)) // 2
+    if edge.shape[0] % 10:
+        edge = np.pad(edge, pad, constant_values=np.nan)
+    n = (edge.shape[0] // 10) * 10
+    return np.nanmean(edge[:n].reshape(-1, 10), axis=1)
+
+
+def check_if_artifact(tile: np.ndarray, neighbor: np.ndarray) -> bool:
+    """True when the boundary between `tile` (left/top) and `neighbor`
+    shows a visible seam (reference :675-710). Arrays are (H, W)
+    tree-cover rasters; comparison runs on tile[:, -1] vs
+    neighbor[:, 0] — transpose for north-south checks."""
+    t = np.where(tile == NODATA, np.nan, tile.astype(np.float32))
+    nb = np.where(neighbor == NODATA, np.nan, neighbor.astype(np.float32))
+
+    right_mean = np.nanmean(nb[:, :3])
+    left_mean = np.nanmean(t[:, -3:])
+    right = _binned_profile(nb[:, 0])
+    left = _binned_profile(t[:, -1])
+
+    diff = np.abs(right - left)
+    frac = np.nanmean(diff > 20)
+    frac2 = np.nanmean(diff > 12.5)
+    frac_l = np.nanmean(np.abs(right[:15] - left[:15]) > 17.5)
+    frac_r = np.nanmean(np.abs(right[-15:] - left[-15:]) > 17.5)
+    lr_diff = abs(right_mean - left_mean)
+
+    rule0 = lr_diff > 6
+    rule1 = (frac2 > 0.5) and (lr_diff > 1)
+    rule2 = ((frac > 0.3) or (frac_l > 0.5) or (frac_r > 0.5)) \
+        and (lr_diff > 1)
+    return bool(rule0 or rule1 or rule2)
+
+
+def align_border_histograms(strip: np.ndarray) -> np.ndarray:
+    """Mean/std align the two halves of a (T, H, W, C) border strip,
+    per date, keeping the adjustment only when it shrinks the seam step
+    (reference :284-343). The split axis is axis=2 (W)."""
+    strip = strip.copy()
+    half = strip.shape[2] // 2
+    mid_row = strip.shape[2] // 2
+
+    def _ndwi(a):
+        return (a[..., 1] - a[..., 3]) / (a[..., 1] + a[..., 3] + 1e-9)
+
+    left_water = _ndwi(np.median(strip[:, :, half:], axis=0)) >= 0.1
+    right_water = _ndwi(np.median(strip[:, :, :half], axis=0)) >= 0.1
+
+    for t in range(strip.shape[0]):
+        left = strip[t, :, half:]
+        right = strip[t, :, :half]
+        std_r = np.nanstd(right[~right_water], axis=0)
+        std_l = np.nanstd(left[~left_water], axis=0)
+        std_ref = (std_r + std_l) / 2
+        mean_r = np.nanmean(right[~right_water], axis=0)
+        mean_l = np.nanmean(left[~left_water], axis=0)
+        mean_ref = (mean_r + mean_l) / 2
+
+        mult_l = std_l / np.maximum(std_ref, 1e-9)
+        add_l = mean_l - mean_ref * mult_l
+        mult_r = std_r / np.maximum(std_ref, 1e-9)
+        add_r = mean_r - mean_ref * mult_r
+
+        seam_before = np.mean(np.abs(
+            strip[t, :, mid_row] - strip[t, :, mid_row - 1]))
+        cand = strip[t].copy()
+        # note reference applies the *left* multipliers to the first
+        # half; replicated as-is
+        cand[:, :half] = cand[:, :half] * mult_l + add_l
+        cand[:, half:] = cand[:, half:] * mult_r + add_r
+        seam_after = np.mean(np.abs(
+            cand[:, mid_row] - cand[:, mid_row - 1]))
+        if seam_after < seam_before:
+            strip[t] = cand
+    return strip
+
+
+def adjust_predictions(preds: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Scale new predictions to the existing raster's mean/std
+    (reference :346-357)."""
+    std_mult = np.nanstd(ref) / max(np.nanstd(preds), 1e-9)
+    addition = np.nanmean(ref) - np.nanmean(preds) * std_mult
+    return np.clip(preds * std_mult + addition, 0, 1)
+
+
+def blend_strip_into_rasters(left_raster: np.ndarray,
+                             right_raster: np.ndarray,
+                             strip_preds: np.ndarray,
+                             strip_width: int,
+                             sigma: float = 36.0):
+    """Gaussian re-blend of a border strip prediction (H, 2*strip_width)
+    spanning the last strip_width cols of the left tile and first of the
+    right (reference mosaic_subtiles / recreate_resegmented_tifs
+    :1169-1550, distilled). Returns the two updated rasters
+    (the reference writes them as *_SMOOTH_X)."""
+    h = left_raster.shape[0]
+    w = strip_width
+    ramp = fspecial_gauss(2 * w, sigma)[0]
+    ramp = ramp / ramp.max()
+    # weight ~1 at the seam, decaying outward
+    weight = np.concatenate([ramp[:w][::-1], ramp[:w]])[None, :]
+    weight = np.repeat(weight[:, :w * 2], 1, axis=0)
+    weight = np.broadcast_to(
+        np.concatenate([ramp[w:][::-1], ramp[w:]])[None, :], (h, 2 * w))
+
+    def _blend(raster, cols, new_vals, wgt):
+        region = raster[:, cols].astype(np.float32)
+        valid = region != NODATA
+        blended = region * (1 - wgt) + new_vals * 100.0 * wgt
+        out = np.where(valid, blended, new_vals * 100.0)
+        updated = raster.copy()
+        updated[:, cols] = np.clip(out, 0, 100).astype(raster.dtype)
+        return updated
+
+    left_new = _blend(left_raster, slice(-w, None),
+                      strip_preds[:, :w], weight[:, :w])
+    right_new = _blend(right_raster, slice(0, w),
+                       strip_preds[:, w:], weight[:, w:])
+    return left_new, right_new
+
+
+def resegment_pair(left_raster, right_raster, strip_predict_fn,
+                   strip_width: int = 158):
+    """Seam-repair driver for one east-west tile pair: detect, repredict
+    the border strip via `strip_predict_fn()` (-> (H, 2*strip_width)
+    float [0,1] predictions), align to the existing rasters, blend.
+
+    Returns (left, right, repaired: bool).
+    """
+    if not check_if_artifact(left_raster, right_raster):
+        return left_raster, right_raster, False
+    preds = strip_predict_fn()
+    ref = np.concatenate([left_raster[:, -strip_width:],
+                          right_raster[:, :strip_width]], axis=1)
+    ref_f = np.where(ref == NODATA, np.nan, ref / 100.0)
+    preds = adjust_predictions(preds, ref_f)
+    left_new, right_new = blend_strip_into_rasters(
+        left_raster, right_raster, preds, strip_width)
+    return left_new, right_new, True
