@@ -1,0 +1,147 @@
+"""Change-detection job: multi-year gain/loss rasters per tile.
+
+Counterpart of the reference's change_job.py (reference:
+src/change_job.py:259-717): loads per-year tree-cover tifs
+(_SMOOTH_XY > _SMOOTH_X > _SMOOTH_Y > _FINAL preference) and per-year
+NDMI ARD stacks, runs KDE calibration + gain/loss detection, writes
+loss/gain year rasters.
+
+Usage:
+    python -m ttc.cli.change_job --local_path tiles/ --x 100 --y 100 \
+        --start_year 2017 --end_year 2024
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+
+import numpy as np
+
+from ttc.change.kde import make_all_kde
+from ttc.change.pipeline import detect_change, validate_ard
+from ttc.io.arrays import load_array
+from ttc.io.geotiff import read_geotiff, write_geotiff
+
+log = logging.getLogger("ttc.change_job")
+
+SUFFIX_PREFERENCE = ("_SMOOTH_XY", "_SMOOTH_X", "_SMOOTH_Y", "_FINAL",
+                     "_POST")
+
+
+def find_ttc_tif(tile_dir: str):
+    """Pick the best available raster by suffix preference
+    (reference: resegment_tiles_wide.py:713-751)."""
+    for suffix in SUFFIX_PREFERENCE:
+        hits = glob.glob(os.path.join(tile_dir, f"*{suffix}.tif"))
+        if hits:
+            return hits[0]
+    return None
+
+
+def load_year_stack(local_path: str, x: int, y: int, start_year: int,
+                    end_year: int):
+    """(N_years, H, W) float tree-cover stack; missing years are
+    nan-filled then nearest-interpolated."""
+    layers = []
+    for year in range(start_year, end_year + 1):
+        tile_dir = os.path.join(local_path, str(year), str(x), str(y))
+        tif = find_ttc_tif(tile_dir) if os.path.isdir(tile_dir) else None
+        if tif:
+            arr, _ = read_geotiff(tif)
+            layers.append(arr[..., 0].astype(np.float32))
+        else:
+            layers.append(None)
+    shape = next((l.shape for l in layers if l is not None), None)
+    if shape is None:
+        raise FileNotFoundError("no tree cover rasters found")
+    fs = np.stack([
+        l if l is not None else np.full(shape, np.nan, np.float32)
+        for l in layers])
+    # forward/backward fill missing years
+    for i in range(1, len(fs)):
+        mask = np.isnan(fs[i])
+        fs[i][mask] = fs[i - 1][mask]
+    for i in range(len(fs) - 2, -1, -1):
+        mask = np.isnan(fs[i])
+        fs[i][mask] = fs[i + 1][mask]
+    return fs
+
+
+def load_ndmi_stacks(local_path: str, x: int, y: int, start_year: int,
+                     end_year: int):
+    """Concatenate per-year ard_ndmi stacks + date offsets."""
+    stacks = []
+    dates = []
+    n_per_year = []
+    for k, year in enumerate(range(start_year, end_year + 1)):
+        tile_dir = os.path.join(local_path, str(year), str(x), str(y))
+        ndmi_path = os.path.join(tile_dir, "ard_ndmi.h5")
+        dates_path = os.path.join(tile_dir, "ard_dates.npy")
+        if os.path.exists(ndmi_path) and os.path.exists(dates_path):
+            nd = load_array(ndmi_path)
+            dd = np.load(dates_path) + k * 365
+            stacks.append(nd)
+            dates.append(dd)
+            n_per_year.append(len(dd))
+        else:
+            n_per_year.append(0)
+    if not stacks:
+        raise FileNotFoundError("no NDMI ARD stacks found")
+    return (np.concatenate(stacks, axis=0),
+            np.concatenate(dates), n_per_year)
+
+
+def run_change(local_path: str, x: int, y: int, start_year: int,
+               end_year: int, out_dir: str | None = None):
+    fs = load_year_stack(local_path, x, y, start_year, end_year)
+    ndmi_stack, dates, n_per_year = load_ndmi_stacks(
+        local_path, x, y, start_year, end_year)
+
+    # stable pixels: limited tree-cover variance across years
+    valid = fs[0] != 255
+    spread = np.nanmax(fs, axis=0) - np.nanmin(fs, axis=0)
+    stable = (spread < 20) & valid
+    if stable.sum() < 100:
+        stable = valid
+
+    outliers = validate_ard(n_per_year, ndmi_stack)
+    adjustments = np.zeros(fs.shape[0])
+    for o in outliers:
+        adjustments[o] = 10.0
+
+    kde5, kde10, kde25, kde2, pct = make_all_kde(ndmi_stack, stable)
+    gain, loss = detect_change(kde5.astype(np.int16),
+                               kde10.astype(np.int16),
+                               kde25.astype(np.int16),
+                               kde2.astype(np.int16), dates, fs,
+                               adjustments)
+
+    out_dir = out_dir or os.path.join(local_path, "change", str(x),
+                                      str(y))
+    os.makedirs(out_dir, exist_ok=True)
+    bbox = (0.0, 0.0, gain.shape[1] / 36000.0, gain.shape[0] / 36000.0)
+    write_geotiff(os.path.join(out_dir, f"{x}X{y}Y_gain.tif"), gain,
+                  bbox, nodata=0)
+    write_geotiff(os.path.join(out_dir, f"{x}X{y}Y_loss.tif"), loss,
+                  bbox, nodata=0)
+    return gain, loss
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--local_path", default="tiles/")
+    parser.add_argument("--x", type=int, required=True)
+    parser.add_argument("--y", type=int, required=True)
+    parser.add_argument("--start_year", type=int, default=2017)
+    parser.add_argument("--end_year", type=int, default=2024)
+    parser.add_argument("--out_dir", default=None)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    run_change(args.local_path, args.x, args.y, args.start_year,
+               args.end_year, args.out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Model training job.
+
+Counterpart of the reference's train-model.py epoch loop
+(reference: src/train/train-model.py:110-502): stratified equibatches,
+augmentation, SAM+AdaBound steps with cosine/warmup LR, DropBlock
+keep-rate and boundary-loss alpha schedules, SWA + Nesterov fine-tune
+over the last 15 epochs, tolerant-F1 checkpoint selection, orbax
+checkpoints, data-parallel over the available device mesh.
+
+Usage:
+    python -m ttc.cli.train_job --train_x train_x.npy --train_y ... \
+        --checkpoint_dir ckpt/ [--epochs 100]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import numpy as np
+
+from ttc.core.config import ModelConfig
+from ttc.models.metrics import evaluate_predictions
+from ttc.models.unet import TreeCoverNet
+from ttc.parallel.mesh import make_mesh
+from ttc.train.checkpoint import (
+    latest_step,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ttc.train.data import augment_batch, equibatch
+from ttc.train.loop import (
+    TrainState,
+    alpha_schedule,
+    init_train_state,
+    keep_rate_schedule,
+    make_sharded_train_step,
+)
+from ttc.train.optim import swa_init, swa_update
+
+log = logging.getLogger("ttc.train_job")
+
+
+def evaluate(model, params, test_x, test_y, batch: int = 32):
+    preds = []
+    fwd = jax.jit(lambda p, b: model.apply(p, b))
+    for i in range(0, len(test_x), batch):
+        xb = test_x[i:i + batch]
+        preds.append(np.asarray(fwd(params, xb)))
+    preds = np.concatenate(preds)
+    return evaluate_predictions(test_y, preds)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--train_x", required=True)
+    parser.add_argument("--train_y", required=True)
+    parser.add_argument("--test_x", required=True)
+    parser.add_argument("--test_y", required=True)
+    parser.add_argument("--checkpoint_dir", default="ckpt/")
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = ModelConfig(n_epochs=args.epochs, batch_size=args.batch_size)
+    # monthly training tensor: (N, 12, 28, 28, 17), already normalized
+    train_x = np.load(args.train_x, mmap_mode="r")
+    train_y = np.load(args.train_y)
+    test_x = np.asarray(np.load(args.test_x), np.float32)
+    test_y = np.asarray(np.load(args.test_y), np.float32)
+    if test_y.ndim == 3 and test_y.shape[-1] != cfg.out_size:
+        test_y = test_y.reshape(-1, cfg.out_size, cfg.out_size)
+
+    mesh = make_mesh()
+    model = TreeCoverNet(base_filters=cfg.base_filters,
+                         zoneout=cfg.zoneout)
+    state, step_fn = init_train_state(jax.random.PRNGKey(args.seed),
+                                      cfg=cfg,
+                                      batch_size=cfg.batch_size,
+                                      learning_rate=cfg.init_lr)
+    step = make_sharded_train_step(step_fn, mesh)
+
+    start_epoch = 1
+    metrics = np.zeros((6, 300), np.float32)
+    if args.resume and latest_step(args.checkpoint_dir) is not None:
+        payload, ckpt_step = load_checkpoint(
+            args.checkpoint_dir,
+            template={"params": state.params,
+                      "opt_state": state.opt_state})
+        state = TrainState(params=payload["params"],
+                           opt_state=payload["opt_state"],
+                           step=state.step)
+        start_epoch = ckpt_step + 1
+        log.info("resumed from epoch %d", ckpt_step)
+
+    swa = swa_init(state.params)
+    rng = np.random.default_rng(args.seed)
+    best_f1 = 0.0
+    warm_steps_done = 0
+
+    for epoch in range(start_epoch, cfg.n_epochs):
+        fine_tune = epoch > cfg.n_epochs - 15
+        keep_rate = keep_rate_schedule(epoch, cfg.cosine_divider)
+        alpha = alpha_schedule(epoch)
+        order = equibatch(list(range(len(train_y))), train_y, rng)
+
+        losses = []
+        n_batches = len(order) // cfg.batch_size
+        for k in range(n_batches):
+            ids = order[k * cfg.batch_size:(k + 1) * cfg.batch_size]
+            xb, yb = augment_batch(ids, train_x, train_y,
+                                   length=cfg.length,
+                                   in_size=cfg.in_size,
+                                   out_size=cfg.out_size, rng=rng)
+            warm_steps_done += 1
+            state, m = step(state, {"x": xb, "y": yb}, alpha=alpha,
+                            keep_rate=keep_rate,
+                            rng=jax.random.PRNGKey(args.seed + epoch))
+            losses.append(float(m["loss"]))
+
+        metrics[0, epoch] = np.mean(losses) if losses else 0.0
+        log.info("epoch %d: loss %.4f keep %.2f alpha %.2f%s", epoch,
+                 metrics[0, epoch], keep_rate, alpha,
+                 " [SWA/fine-tune]" if fine_tune else "")
+
+        eval_params = state.params
+        if fine_tune:
+            swa = swa_update(swa, state.params)
+            eval_params = swa.average
+
+        ev = evaluate(model, eval_params, test_x, test_y)
+        metrics[2, epoch] = ev["error"]
+        metrics[5, epoch] = ev["f1"]
+        log.info("epoch %d: F1 %.3f (thresh %.2f) error %.2f", epoch,
+                 ev["f1"], ev["threshold"], ev["error"])
+
+        if ev["f1"] > best_f1 - 0.02:
+            save_checkpoint(args.checkpoint_dir, epoch,
+                            eval_params, opt_state=state.opt_state,
+                            metrics=metrics, f1=ev["f1"])
+            best_f1 = max(best_f1, ev["f1"])
+
+    save_checkpoint(args.checkpoint_dir, cfg.n_epochs, state.params,
+                    opt_state=state.opt_state, metrics=metrics)
+
+
+if __name__ == "__main__":
+    main()

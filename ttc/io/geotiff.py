@@ -60,7 +60,7 @@ def write_geotiff(path: str, arr: np.ndarray, bbox, nodata=None,
         return header_size + 2 + len(entries_bin) * 12 + 4 + len(extra)
 
     # build in two passes: first compute sizes with placeholders
-    n_entries = 14 if nodata is not None else 13
+    n_entries = 15 if nodata is not None else 14
     ifd_start = 8
     data_offset_pos = None
 

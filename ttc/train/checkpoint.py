@@ -1,0 +1,71 @@
+"""Checkpoint / resume via orbax.
+
+Counterpart of the reference's tf.train.Saver per-epoch directories
+named {epoch}-{f1} with a metrics.npy history and resume-from-latest
+(reference: src/train/train-model.py:290-323,492-500).
+"""
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _mgr(directory: str):
+    return ocp.CheckpointManager(os.path.abspath(directory))
+
+
+def save_checkpoint(directory: str, step: int, params, opt_state=None,
+                    swa_state=None, metrics: np.ndarray | None = None,
+                    f1: float | None = None):
+    """Save params (+optimizer/swa) under {directory}/{step}; tag the
+    step dir with the f1 like the reference's naming."""
+    os.makedirs(directory, exist_ok=True)
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    if swa_state is not None:
+        payload["swa_state"] = swa_state
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(os.path.abspath(directory),
+                                f"step_{step}"), payload)
+    if metrics is not None:
+        np.save(os.path.join(directory, "metrics.npy"), metrics)
+    if f1 is not None:
+        with open(os.path.join(directory, f"step_{step}.f1"), "w") as f:
+            f.write(f"{f1:.4f}")
+
+
+def latest_step(directory: str) -> int | None:
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        m = re.match(r"step_(\d+)$", name)
+        if m and os.path.isdir(os.path.join(directory, name)):
+            steps.append(int(m.group(1)))
+    return max(steps) if steps else None
+
+
+def load_checkpoint(directory: str, step: int | None = None,
+                    template=None):
+    step = step if step is not None else latest_step(directory)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {directory}")
+    with ocp.StandardCheckpointer() as ckptr:
+        path = os.path.join(os.path.abspath(directory), f"step_{step}")
+        if template is not None:
+            return ckptr.restore(path, template), step
+        return ckptr.restore(path), step
+
+
+def load_params(directory: str, step: int | None = None):
+    payload, _ = load_checkpoint(directory, step)
+    return payload["params"]
+
+
+def load_metrics(directory: str) -> np.ndarray | None:
+    path = os.path.join(directory, "metrics.npy")
+    return np.load(path) if os.path.exists(path) else None
