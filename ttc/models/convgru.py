@@ -57,6 +57,9 @@ class ConvGRUCell(nn.Module):
                 inp, kernel, (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+        # NB: conv(concat(x, h)) measured faster than the algebraically
+        # equal conv(x, Wx) + conv(h, Wh) split on v5e (odd-channel
+        # kernel slices fall off the fast conv path).
         inputs = reflect_pad_2d(jnp.concatenate([x, h], axis=-1))
         y = conv(inputs, gates_kernel)
         r, u = jnp.split(y, 2, axis=-1)
