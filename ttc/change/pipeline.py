@@ -285,3 +285,86 @@ def detect_change(kde5, kde10, kde25, kde2, dates, fs,
     gain = gain * np.clip(remove_noise((gain > 0).astype(np.uint8), 10),
                           0, 1)
     return gain.astype(np.uint8), loss.astype(np.uint8)
+
+
+def validate_gain(gain, potential_loss, fs):
+    """Remove gain where tree->no-tree->tree rotation lacks a detected
+    loss event (reference change_job.py:100-152)."""
+    gain = gain.copy()
+    potential_loss = potential_loss.copy()
+    for i in range(gain.shape[0]):
+        if i != 0:
+            cand = (np.min(fs[i - 1:i + 1], axis=0) - fs[i + 1]) > 45
+        else:
+            cand = (fs[i] - fs[i + 1]) > 45
+        cand = cand * (fs[i + 1] <= 35)
+        potential_loss[i] = remove_nonoverlapping_events(
+            cand.astype(np.uint8), potential_loss[i], 2)
+
+    for i in range(gain.shape[0]):
+        early = fs[:i]
+        later = fs[i + 2:]
+        if early.ndim == 2:
+            early = early[None]
+        was_trees = np.sum((early >= 70) & (early <= 100), axis=0) > 0
+        if early.shape[0] > 1:
+            max_diff = np.min(np.diff(early, axis=0), axis=0)
+            was_trees = was_trees * (max_diff <= -50)
+
+        if i > 0:
+            no_prior_loss = np.sum(potential_loss[:i] > 0, axis=0) == 0
+        else:
+            no_prior_loss = np.ones_like(potential_loss[0], bool)
+        no_later_loss = np.sum(potential_loss[i:] > 0, axis=0) == 0
+        was_notrees_after = (np.sum(later < 30, axis=0) > 0) \
+            if later.shape[0] else np.zeros_like(was_trees)
+
+        bad_before = was_trees * no_prior_loss
+        bad_after = was_notrees_after * no_later_loss \
+            if (i + 1) != gain.shape[0] else np.zeros_like(was_trees)
+        gain[i][np.logical_or(bad_before > 0, bad_after > 0)] = 0
+    return gain
+
+
+def remove_unstable_loss(year, med, fs, nans, start_year: int = 2017):
+    """Flag loss events that revert to trees without a gain event, or
+    that sit near no-image areas (reference change_job.py:155-256).
+
+    year: calendar year of the loss layer; med: combined change raster
+    where loss year k is encoded as (year - 1817); nans: per-year
+    no-image masks (N_years, H, W). Returns (unstable_loss, no_img)."""
+    from scipy.ndimage import binary_dilation
+
+    n_years = fs.shape[0]
+    yi = year - start_year
+    gain = np.logical_or((med >= 150) & (med <= 160),
+                         (med >= 101) & (med <= 105))
+    ttc_year = fs[yi]
+    loss_year = med == (year - 1817)
+    end_year = start_year + n_years - 1
+
+    def _dil(mask, it):
+        return binary_dilation(mask == 1, iterations=it)
+
+    if year < end_year and year > start_year + 1:
+        next_year = np.mean(fs[yi + 1:yi + 3], axis=0)
+        unstable = (next_year > 60) * (ttc_year < 40) * loss_year
+        no_img = _dil(nans[yi], 15) | _dil(nans[yi - 1], 15) \
+            | _dil(nans[min(yi + 1, n_years - 1)], 15)
+    elif year == start_year + 1:
+        next_year = np.mean(fs[yi + 1:], axis=0)
+        unstable = (next_year > 50) * (ttc_year < 50) * loss_year
+        no_img = _dil(nans[yi], 15) | _dil(nans[yi - 1], 15) \
+            | _dil(nans[min(yi + 1, n_years - 1)], 15)
+    else:
+        no_img = _dil(nans[yi], 30) | _dil(nans[yi - 1], 30)
+        unstable = no_img.copy()
+
+    prior_notree = np.sum(fs[:yi + 1] < 30, axis=0) >= 1
+    prior_gain = (np.max(fs[:yi + 1], axis=0)
+                  - np.min(fs[:yi + 1], axis=0))
+    prior_notree = prior_notree * (gain == 0)
+    prior_gain = (prior_gain >= 40) * (gain == 0)
+    prior_notree = np.logical_or(prior_notree, prior_gain)
+    unstable = np.maximum(unstable, prior_notree)
+    return unstable, no_img

@@ -130,3 +130,78 @@ def swa_update(state: SWAState, params) -> SWAState:
     avg = jax.tree_util.tree_map(
         lambda a, p: (a * n + p) / (n + 1.0), state.average, params)
     return SWAState(n_models=n + 1.0, average=avg)
+
+
+class AdaBeliefState(NamedTuple):
+    count: jnp.ndarray
+    m: Any
+    s: Any
+    smax: Any
+
+
+def adabelief(learning_rate: float | Callable, b1: float = 0.9,
+              b2: float = 0.999, eps: float = 1e-14,
+              weight_decay: float = 0.0, rectify: bool = True,
+              amsgrad: bool = False, sma_threshold: float = 5.0
+              ) -> optax.GradientTransformation:
+    """AdaBelief (Zhuang et al. 2020): Adam with the second moment
+    tracking the *belief* (g - m)^2, optional RAdam-style rectification
+    (reference: src/layers/adabelief.py:14-376 semantics)."""
+
+    def init_fn(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdaBeliefState(count=jnp.zeros([], jnp.int32), m=z,
+                              s=jax.tree_util.tree_map(jnp.zeros_like,
+                                                       params),
+                              smax=jax.tree_util.tree_map(
+                                  jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        lr = learning_rate(count) if callable(learning_rate) \
+            else learning_rate
+        m = jax.tree_util.tree_map(
+            lambda mu, g: b1 * mu + (1 - b1) * g, state.m, updates)
+        s = jax.tree_util.tree_map(
+            lambda nu, g, mu: b2 * nu + (1 - b2) * (g - mu) ** 2 + eps,
+            state.s, updates, m)
+        if amsgrad:
+            smax = jax.tree_util.tree_map(jnp.maximum, state.smax, s)
+            denom_src = smax
+        else:
+            smax = state.smax
+            denom_src = s
+
+        m_hat_scale = 1.0 / (1 - b1 ** t)
+        s_hat_scale = 1.0 / (1 - b2 ** t)
+
+        if rectify:
+            sma_inf = 2.0 / (1 - b2) - 1.0
+            sma = sma_inf - 2.0 * t * (b2 ** t) / (1 - b2 ** t)
+            r_t = jnp.sqrt(jnp.maximum(
+                (sma - 4) * (sma - 2) * sma_inf
+                / jnp.maximum((sma_inf - 4) * (sma_inf - 2) * sma, 1e-12),
+                0.0))
+            use_adaptive = sma >= sma_threshold
+        else:
+            r_t = 1.0
+            use_adaptive = True
+
+        def _delta(mu, nu, p):
+            m_hat = mu * m_hat_scale
+            denom = jnp.sqrt(nu * s_hat_scale) + eps
+            adaptive = r_t * m_hat / denom
+            sgd = m_hat
+            step = jnp.where(use_adaptive, adaptive, sgd) if rectify \
+                else adaptive
+            if weight_decay and p is not None:
+                step = step + weight_decay * p
+            return -lr * step
+
+        deltas = jax.tree_util.tree_map(_delta, m, denom_src,
+                                        params if params is not None
+                                        else m)
+        return deltas, AdaBeliefState(count=count, m=m, s=s, smax=smax)
+
+    return optax.GradientTransformation(init_fn, update_fn)
