@@ -103,3 +103,45 @@ def mosaic_predictions(preds, cfg: InferenceConfig | None = None,
                     cross=False)
     out = jnp.where(nodata > 0, NODATA, out)
     return out.astype(jnp.uint8)
+
+
+def mosaic_features(feat_windows, cfg: InferenceConfig | None = None):
+    """Blend (N, S, S, D) per-window feature maps into a (H, W, D)
+    int16 raster: Gaussian-weighted average without the agreement pass
+    (the reference's depth>1 path, reference :1587-1592), vectorized
+    over all D channels at once instead of 8 at a time."""
+    cfg = cfg or InferenceConfig()
+    offsets, extent_np, gauss_np = _static_layers(
+        cfg.tile_px, cfg.out_size, cfg.n_rows, cfg.gauss_sigma)
+    extent = jnp.asarray(extent_np)
+    g = jnp.asarray(gauss_np)
+
+    n, s, _, d = feat_windows.shape
+    dense = jnp.zeros((n, cfg.tile_px, cfg.tile_px, d),
+                      feat_windows.dtype)
+    for i, (ox, oy) in enumerate(offsets):
+        dense = dense.at[i, int(ox):int(ox) + s,
+                         int(oy):int(oy) + s].set(feat_windows[i])
+
+    w = g * extent
+    wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-8)
+    blended = jnp.sum(dense * w[..., None], axis=0) / wsum[..., None]
+    return jnp.clip(blended, -32.768, 32.767) * 1000.0
+
+
+def extract_tile_features(params, windows, model, cfg=None):
+    """Run the model with feature taps over a normalized (N, 5, in, in,
+    17) window batch and mosaic the early (GRU steps, cropped to the
+    output extent) + late (decoder) features into int16 rasters (the
+    reference's --gen_feats path,
+    reference: download_and_predict_job.py:1429-1448)."""
+    cfg = cfg or InferenceConfig()
+    preds, feats = model.apply(params, windows, return_features=True)
+    early = feats["early"]          # (N, T, in, in, 64) GRU steps
+    late = feats["late"]            # (N, out, out, 64)
+    ctx = cfg.ctx // 2
+    early = jnp.mean(early, axis=1)[:, ctx:-ctx, ctx:-ctx, :32]
+    late = late[..., :32]
+    return (mosaic_features(early, cfg).astype(jnp.int16),
+            mosaic_features(late, cfg).astype(jnp.int16),
+            preds)

@@ -353,3 +353,20 @@ class SentinelHubBackend:
             "live acquisition requires network access; structure the "
             "calls per band group with the EVALSCRIPT_* constants and "
             "screen dates via screen_cloud_previews")
+
+
+# Sentinel-1 orbit selection (reference identify_s1_layer,
+# tof_downloading.py:720-757): the reference reverse-geocodes the
+# continent; the actual decision reduces to longitude/latitude bands,
+# reimplemented here without the reverse_geocoder dependency.
+def identify_s1_orbit(lat: float, lon: float) -> str:
+    """'ASCENDING' or 'DESCENDING' orbit choice by region."""
+    # Americas (lon < -30): descending south of ~7N, else ascending
+    if lon < -30:
+        return "DESCENDING" if lat < 7 else "ASCENDING"
+    # Africa/Europe (-30..60): ascending in the northern tropics,
+    # descending in the south
+    if lon < 60:
+        return "ASCENDING" if lat >= 0 else "DESCENDING"
+    # Asia/Oceania: descending
+    return "DESCENDING"

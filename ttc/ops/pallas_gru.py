@@ -1,0 +1,226 @@
+"""Fused ConvGRU cell as Pallas TPU kernels.
+
+The ConvGRU step (reference semantics in ttc/models/convgru.py) is the
+hot path of tile inference: per step it runs two 3x3 convolutions with
+a GroupNorm/sigmoid/tanh chain between them. XLA cannot fuse across the
+conv -> global-stats -> conv boundary, so each step makes ~10 HBM round
+trips over (B, 172, 172, 64) activations.
+
+Here the step is two pallas_call kernels, gridded over the batch, with
+one sample's activations resident in VMEM:
+
+  K1 gates:     y = conv3x3(xh_pad, Wg)   (9 shifted MXU contractions)
+                r = sigmoid(GN_8(y[..., :F])), u = sigmoid(GN_8(y[..., F:]))
+  K2 candidate: rh = reflect_pad(r * h); c = conv3x3([x, rh], Wc)
+                c = c * sigmoid(conv1x1(c, Ws)); c = tanh(GN_8(c))
+                h' = u * h + (1 - u) * c
+
+Activations are bf16 with fp32 accumulation and fp32 GroupNorm
+statistics. HBM traffic per step drops from ~10 passes to 3 (read
+xh_pad, write r/u, write h'). Kernels run in interpret mode on CPU for
+tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class FusedGRUParams(NamedTuple):
+    gates_kernel: jax.Array       # (3, 3, Cx + F, 2F)
+    cand_kernel: jax.Array        # (3, 3, Cx + F, F)
+    sse_kernel: jax.Array         # (F, 1)
+    gn_r_gamma: jax.Array         # (F,)
+    gn_r_beta: jax.Array
+    gn_u_gamma: jax.Array
+    gn_u_beta: jax.Array
+    gn_c_gamma: jax.Array
+    gn_c_beta: jax.Array
+
+
+def _group_matrix(c: int, groups: int):
+    """(C, G) one-hot channel->group matrix, built with iota inside the
+    kernel (pallas kernels cannot capture array constants, and Mosaic
+    cannot lay out 1-D reshapes)."""
+    per = c // groups
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    return (rows // per == cols).astype(jnp.float32)
+
+
+def _gn_scale_bias(y, gamma, beta, groups: int, eps: float = 1e-5):
+    """GroupNorm over an (H, W, C) fp32 block: returns normalized out.
+
+    All reductions stay >=2-D (Mosaic has no 1-D vector-matrix ops):
+    channel sums as (1, C), group combine via (1, C) @ (C, G).
+    """
+    h, w, c = y.shape
+    per = c // groups
+    gm = _group_matrix(c, groups)                   # (C, G)
+    s = jnp.sum(jnp.sum(y, axis=0), axis=0, keepdims=True)    # (1, C)
+    ss = jnp.sum(jnp.sum(y * y, axis=0), axis=0, keepdims=True)
+    sg = jnp.dot(s, gm, preferred_element_type=jnp.float32)   # (1, G)
+    ssg = jnp.dot(ss, gm, preferred_element_type=jnp.float32)
+    n = jnp.float32(h * w * per)
+    mean = sg / n
+    var = ssg / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    inv_c = jnp.dot(inv, gm.T,
+                    preferred_element_type=jnp.float32)       # (1, C)
+    mean_c = jnp.dot(mean, gm.T,
+                     preferred_element_type=jnp.float32)
+    scale = inv_c * gamma[None]                                # (1, C)
+    bias = beta[None] - mean_c * scale
+    return y * scale[None] + bias[None]
+
+
+def _conv3x3(xh_pad, kernel, h: int, w: int):
+    """(H+2, W+2, Cin) bf16 x (3, 3, Cin, Cout) -> (H, W, Cout) fp32
+    as 9 shifted dot_general contractions on the MXU."""
+    cout = kernel.shape[-1]
+    acc = jnp.zeros((h, w, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = xh_pad[dy:dy + h, dx:dx + w, :]
+            acc = acc + jax.lax.dot_general(
+                tap, kernel[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return acc
+
+
+def _gates_kernel_body(xh_ref, wg_ref, gr_g_ref, gr_b_ref, gu_g_ref,
+                       gu_b_ref, r_ref, u_ref, *, h, w, f):
+    y = _conv3x3(xh_ref[0], wg_ref[:], h, w)
+    r = _gn_scale_bias(y[..., :f], gr_g_ref[:], gr_b_ref[:], 8)
+    u = _gn_scale_bias(y[..., f:], gu_g_ref[:], gu_b_ref[:], 8)
+    r_ref[0] = jax.nn.sigmoid(r).astype(r_ref.dtype)
+    u_ref[0] = jax.nn.sigmoid(u).astype(u_ref.dtype)
+
+
+def _reflect_pad_hw(x):
+    """(H, W, C) -> (H+2, W+2, C) reflect pad inside the kernel."""
+    top = x[1:2]
+    bot = x[-2:-1]
+    x = jnp.concatenate([top, x, bot], axis=0)
+    left = x[:, 1:2]
+    right = x[:, -2:-1]
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def _cand_kernel_body(xh_ref, r_ref, u_ref, wc_ref, ws_ref, gc_g_ref,
+                      gc_b_ref, out_ref, *, h, w, f, cx):
+    xh = xh_ref[0]
+    hh = xh[1:1 + h, 1:1 + w, cx:]                 # interior h
+    rh = (r_ref[0].astype(jnp.float32)
+          * hh.astype(jnp.float32)).astype(xh.dtype)
+    rh_pad = _reflect_pad_hw(rh)
+    cand_in = jnp.concatenate([xh[..., :cx], rh_pad], axis=-1)
+    y = _conv3x3(cand_in, wc_ref[:], h, w)          # (H, W, F) fp32
+    gate = jax.nn.sigmoid(jax.lax.dot_general(
+        y.astype(xh.dtype), ws_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    y = y * gate
+    y = _gn_scale_bias(y, gc_g_ref[:], gc_b_ref[:], 8)
+    c = jnp.tanh(y)
+    u = u_ref[0].astype(jnp.float32)
+    h_new = u * hh.astype(jnp.float32) + (1.0 - u) * c
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret",))
+def fused_convgru_step(xh_pad, params: FusedGRUParams,
+                       interpret: bool = False):
+    """One ConvGRU cell evaluation.
+
+    xh_pad: (B, H+2, W+2, Cx+F) bf16, reflect-padded concat of the step
+    input and the carry state. Returns h_new (B, H, W, F) bf16.
+    """
+    b, hp, wp, cin = xh_pad.shape
+    h, w = hp - 2, wp - 2
+    f = params.cand_kernel.shape[-1]
+    cx = cin - f
+    dtype = xh_pad.dtype
+
+    sample = lambda i: (i, 0, 0, 0)
+    spec_xh = pl.BlockSpec((1, hp, wp, cin), sample,
+                           memory_space=pltpu.VMEM)
+    spec_hw_f = pl.BlockSpec((1, h, w, f), sample,
+                             memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+
+    r, u = pl.pallas_call(
+        functools.partial(_gates_kernel_body, h=h, w=w, f=f),
+        grid=(b,),
+        in_specs=[spec_xh, full((3, 3, cin, 2 * f)), full((f,)),
+                  full((f,)), full((f,)), full((f,))],
+        out_specs=(spec_hw_f, spec_hw_f),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w, f), dtype),
+                   jax.ShapeDtypeStruct((b, h, w, f), dtype)),
+        interpret=interpret,
+    )(xh_pad, params.gates_kernel.astype(dtype),
+      params.gn_r_gamma.astype(jnp.float32),
+      params.gn_r_beta.astype(jnp.float32),
+      params.gn_u_gamma.astype(jnp.float32),
+      params.gn_u_beta.astype(jnp.float32))
+
+    h_new = pl.pallas_call(
+        functools.partial(_cand_kernel_body, h=h, w=w, f=f, cx=cx),
+        grid=(b,),
+        in_specs=[spec_xh, spec_hw_f, spec_hw_f,
+                  full((3, 3, cin, f)), full((f, 1)), full((f,)),
+                  full((f,))],
+        out_specs=spec_hw_f,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, f), dtype),
+        interpret=interpret,
+    )(xh_pad, r, u, params.cand_kernel.astype(dtype),
+      params.sse_kernel.astype(dtype),
+      params.gn_c_gamma.astype(jnp.float32),
+      params.gn_c_beta.astype(jnp.float32))
+    return h_new
+
+
+def params_from_cell(cell_params) -> FusedGRUParams:
+    """Adapt a ttc.models.convgru.ConvGRUCell param subtree."""
+    p = cell_params
+    return FusedGRUParams(
+        gates_kernel=p["gates_kernel"],
+        cand_kernel=p["candidate_kernel"],
+        sse_kernel=p["candidate_sse_kernel"][0, 0],
+        gn_r_gamma=p["norm_gates_r"]["gamma"],
+        gn_r_beta=p["norm_gates_r"]["beta"],
+        gn_u_gamma=p["norm_gates_u"]["gamma"],
+        gn_u_beta=p["norm_gates_u"]["beta"],
+        gn_c_gamma=p["norm_candidate"]["gamma"],
+        gn_c_beta=p["norm_candidate"]["beta"],
+    )
+
+
+def fused_zoneout_gru(x_seq, h0, params: FusedGRUParams,
+                      zoneout: float = 0.75, interpret: bool = False):
+    """Inference-mode zoneout GRU over (B, T, H, W, Cx) using the fused
+    cell. Returns (per-step outputs, final blended state), fp32."""
+    b, t, h, w, cx = x_seq.shape
+    f = h0.shape[-1]
+    carry = h0
+    outs = []
+    for step in range(t):
+        xh = jnp.concatenate(
+            [x_seq[:, step], carry], axis=-1).astype(jnp.bfloat16)
+        xh_pad = jnp.pad(xh, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                         mode="reflect")
+        h_new = fused_convgru_step(xh_pad, params,
+                                   interpret=interpret)
+        h_new = h_new.astype(jnp.float32)
+        outs.append(h_new)
+        carry = carry * zoneout + h_new * (1.0 - zoneout)
+    return jnp.stack(outs, axis=1), carry
