@@ -72,7 +72,8 @@ def build_model_params(model_path: str | None, rng_seed: int = 0):
 
 def run_tile(x: int, y: int, year: int, backend, store: TileStore,
              predictor, bbox=None, timer: StageTimer | None = None,
-             ul_flag: bool = False, sr_params=None):
+             ul_flag: bool = False, sr_params=None,
+             gen_feats: bool = False):
     """Full per-tile flow: fetch -> ARD -> smooth -> predict -> write."""
     timer = timer or StageTimer()
     store.make_tile_folders(x, y)
@@ -101,6 +102,30 @@ def run_tile(x: int, y: int, year: int, backend, store: TileStore,
         raster = np.asarray(predictor(
             sm.s2, sm.s1, sm.dem, sm.s2_median, sm.s1_median,
             sm.clear_count))
+
+    if gen_feats:
+        import jax.numpy as jnp
+
+        from ttc.core.bands import NORM_MAX, NORM_MIN
+        from ttc.infer.mosaic import extract_tile_features
+        from ttc.infer.pipeline import quarterly_medians
+        from ttc.infer.windows import build_model_inputs, normalize
+
+        with timer.stage("features"):
+            batch, _ = build_model_inputs(
+                quarterly_medians(jnp.asarray(sm.s2)),
+                quarterly_medians(jnp.asarray(sm.s1)),
+                jnp.asarray(sm.s2_median), jnp.asarray(sm.s1_median),
+                jnp.asarray(sm.dem), predictor.cfg)
+            norm = normalize(batch, NORM_MIN, NORM_MAX)
+            early, late, _ = extract_tile_features(
+                predictor.params, norm, predictor.model, predictor.cfg)
+            feats_dir = os.path.join(store.tile_dir(x, y), "feats")
+            os.makedirs(feats_dir, exist_ok=True)
+            np.save(os.path.join(feats_dir, "early.npy"),
+                    np.asarray(early))
+            np.save(os.path.join(feats_dir, "late.npy"),
+                    np.asarray(late))
 
     with timer.stage("write"):
         tif_path = store.final_tif_path(x, y)
@@ -175,7 +200,8 @@ def main(argv=None):
             continue
         try:
             run_tile(x, y, args.year, backend, store, predictor,
-                     timer=timer, ul_flag=args.ul_flag)
+                     timer=timer, ul_flag=args.ul_flag,
+                     gen_feats=args.gen_feats)
             log.info("tile %s/%s complete", x, y)
         except KeyboardInterrupt:
             raise

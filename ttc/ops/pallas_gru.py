@@ -80,24 +80,35 @@ def _gn_scale_bias(y, gamma, beta, groups: int, eps: float = 1e-5):
     return y * scale[None] + bias[None]
 
 
-def _conv3x3(xh_pad, kernel, h: int, w: int):
-    """(H+2, W+2, Cin) bf16 x (3, 3, Cin, Cout) -> (H, W, Cout) fp32
-    as 9 shifted dot_general contractions on the MXU."""
-    cout = kernel.shape[-1]
-    acc = jnp.zeros((h, w, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = xh_pad[dy:dy + h, dx:dx + w, :]
-            acc = acc + jax.lax.dot_general(
-                tap, kernel[dy, dx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    return acc
+def _conv3x3_ref(src_ref, kernel_ref, h: int, w: int, lead=None):
+    """Shifted-tap 3x3 conv reading from VMEM refs: src_ref is
+    (H+2, W+2, Cin) (optionally behind a leading unit index), kernel_ref
+    is (9, Cin, Cout) tap-major. The tap loop is a fori_loop with pl.ds
+    ref slices — Mosaic supports dynamic ref slicing but neither
+    dynamic_slice on values nor 9 fully unrolled 172^2 windows (which
+    OOM the compile helper)."""
+    cout = kernel_ref.shape[-1]
+
+    def tap(k, acc):
+        dy = k // 3
+        dx = k % 3
+        if lead is None:
+            block = src_ref[pl.ds(dy, h), pl.ds(dx, w), :]
+        else:
+            block = src_ref[lead, pl.ds(dy, h), pl.ds(dx, w), :]
+        kmat = kernel_ref[pl.ds(k, 1)][0]
+        return acc + jax.lax.dot_general(
+            block, kmat,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return jax.lax.fori_loop(0, 9, tap,
+                             jnp.zeros((h, w, cout), jnp.float32))
 
 
 def _gates_kernel_body(xh_ref, wg_ref, gr_g_ref, gr_b_ref, gu_g_ref,
                        gu_b_ref, r_ref, u_ref, *, h, w, f):
-    y = _conv3x3(xh_ref[0], wg_ref[:], h, w)
+    y = _conv3x3_ref(xh_ref, wg_ref, h, w, lead=0)
     r = _gn_scale_bias(y[..., :f], gr_g_ref[:], gr_b_ref[:], 8)
     u = _gn_scale_bias(y[..., f:], gu_g_ref[:], gu_b_ref[:], 8)
     r_ref[0] = jax.nn.sigmoid(r).astype(r_ref.dtype)
@@ -115,14 +126,17 @@ def _reflect_pad_hw(x):
 
 
 def _cand_kernel_body(xh_ref, r_ref, u_ref, wc_ref, ws_ref, gc_g_ref,
-                      gc_b_ref, out_ref, *, h, w, f, cx):
+                      gc_b_ref, out_ref, scratch_ref, *, h, w, f, cx):
     xh = xh_ref[0]
     hh = xh[1:1 + h, 1:1 + w, cx:]                 # interior h
     rh = (r_ref[0].astype(jnp.float32)
           * hh.astype(jnp.float32)).astype(xh.dtype)
     rh_pad = _reflect_pad_hw(rh)
-    cand_in = jnp.concatenate([xh[..., :cx], rh_pad], axis=-1)
-    y = _conv3x3(cand_in, wc_ref[:], h, w)          # (H, W, F) fp32
+    # materialize the candidate conv input in VMEM scratch so the tap
+    # loop can slice it as a ref
+    scratch_ref[:, :, :cx] = xh[..., :cx]
+    scratch_ref[:, :, cx:] = rh_pad
+    y = _conv3x3_ref(scratch_ref, wc_ref, h, w)     # (H, W, F) fp32
     gate = jax.nn.sigmoid(jax.lax.dot_general(
         y.astype(xh.dtype), ws_ref[:],
         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -161,13 +175,13 @@ def fused_convgru_step(xh_pad, params: FusedGRUParams,
     r, u = pl.pallas_call(
         functools.partial(_gates_kernel_body, h=h, w=w, f=f),
         grid=(b,),
-        in_specs=[spec_xh, full((3, 3, cin, 2 * f)), full((f,)),
+        in_specs=[spec_xh, full((9, cin, 2 * f)), full((f,)),
                   full((f,)), full((f,)), full((f,))],
         out_specs=(spec_hw_f, spec_hw_f),
         out_shape=(jax.ShapeDtypeStruct((b, h, w, f), dtype),
                    jax.ShapeDtypeStruct((b, h, w, f), dtype)),
         interpret=interpret,
-    )(xh_pad, params.gates_kernel.astype(dtype),
+    )(xh_pad, params.gates_kernel.reshape(9, cin, 2 * f).astype(dtype),
       params.gn_r_gamma.astype(jnp.float32),
       params.gn_r_beta.astype(jnp.float32),
       params.gn_u_gamma.astype(jnp.float32),
@@ -177,12 +191,13 @@ def fused_convgru_step(xh_pad, params: FusedGRUParams,
         functools.partial(_cand_kernel_body, h=h, w=w, f=f, cx=cx),
         grid=(b,),
         in_specs=[spec_xh, spec_hw_f, spec_hw_f,
-                  full((3, 3, cin, f)), full((f, 1)), full((f,)),
+                  full((9, cin, f)), full((f, 1)), full((f,)),
                   full((f,))],
         out_specs=spec_hw_f,
         out_shape=jax.ShapeDtypeStruct((b, h, w, f), dtype),
+        scratch_shapes=[pltpu.VMEM((hp, wp, cin), dtype)],
         interpret=interpret,
-    )(xh_pad, r, u, params.cand_kernel.astype(dtype),
+    )(xh_pad, r, u, params.cand_kernel.reshape(9, cin, f).astype(dtype),
       params.sse_kernel.astype(dtype),
       params.gn_c_gamma.astype(jnp.float32),
       params.gn_c_beta.astype(jnp.float32))
