@@ -19,6 +19,14 @@ Activations are bf16 with fp32 accumulation and fp32 GroupNorm
 statistics. HBM traffic per step drops from ~10 passes to 3 (read
 xh_pad, write r/u, write h'). Kernels run in interpret mode on CPU for
 tests.
+
+STATUS (v5e, 2026-08): numerically verified (maxdiff ~0.02 vs the fp32
+flax cell) but 1.9x SLOWER than the XLA path (33 ms vs 17.8 ms per
+(36, 172, 172) step) — Mosaic requires 8-aligned dynamic sublane
+offsets, so the unaligned conv taps compile to per-tap relayout copies
+that dominate runtime. Kept as an optional experimental path
+(`TreeCoverNet` does not use it); revisit with an im2col-in-VMEM
+single-matmul formulation or when Mosaic gains unaligned vector loads.
 """
 from __future__ import annotations
 
@@ -63,8 +71,10 @@ def _gn_scale_bias(y, gamma, beta, groups: int, eps: float = 1e-5):
     h, w, c = y.shape
     per = c // groups
     gm = _group_matrix(c, groups)                   # (C, G)
-    s = jnp.sum(jnp.sum(y, axis=0), axis=0, keepdims=True)    # (1, C)
-    ss = jnp.sum(jnp.sum(y * y, axis=0), axis=0, keepdims=True)
+    s = jnp.sum(jnp.sum(y, axis=0, dtype=jnp.float32), axis=0,
+                keepdims=True)                                # (1, C)
+    ss = jnp.sum(jnp.sum(y.astype(jnp.float32) ** 2, axis=0),
+                 axis=0, keepdims=True)
     sg = jnp.dot(s, gm, preferred_element_type=jnp.float32)   # (1, G)
     ssg = jnp.dot(ss, gm, preferred_element_type=jnp.float32)
     n = jnp.float32(h * w * per)
@@ -77,7 +87,8 @@ def _gn_scale_bias(y, gamma, beta, groups: int, eps: float = 1e-5):
                      preferred_element_type=jnp.float32)
     scale = inv_c * gamma[None]                                # (1, C)
     bias = beta[None] - mean_c * scale
-    return y * scale[None] + bias[None]
+    return (y.astype(jnp.float32) * scale[None]
+            + bias[None]).astype(y.dtype)
 
 
 def _conv3x3_ref(src_ref, kernel_ref, h: int, w: int, lead=None):
@@ -89,30 +100,38 @@ def _conv3x3_ref(src_ref, kernel_ref, h: int, w: int, lead=None):
     OOM the compile helper)."""
     cout = kernel_ref.shape[-1]
 
-    def tap(k, acc):
-        dy = k // 3
-        dx = k % 3
-        if lead is None:
-            block = src_ref[pl.ds(dy, h), pl.ds(dx, w), :]
-        else:
-            block = src_ref[lead, pl.ds(dy, h), pl.ds(dx, w), :]
-        kmat = kernel_ref[pl.ds(k, 1)][0]
-        return acc + jax.lax.dot_general(
-            block, kmat,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # W (sublane) offsets must be static for Mosaic vector loads, so
+    # the 3 dx taps are unrolled; the H offsets stay dynamic inside a
+    # fori_loop to keep the IR small enough for the compile helper.
+    # The running sum is bf16 (each tap's dot still accumulates fp32
+    # internally) — halves VMEM pressure; GroupNorm statistics are
+    # re-accumulated in fp32 downstream.
+    acc = jnp.zeros((h, w, cout), jnp.bfloat16)
+    for dx in range(3):
+        def tap(dy, a, dx=dx):
+            if lead is None:
+                block = src_ref[pl.ds(dy, h), dx:dx + w, :]
+            else:
+                block = src_ref[lead, pl.ds(dy, h), dx:dx + w, :]
+            kmat = kernel_ref[pl.ds(3 * dy + dx, 1)][0]
+            return a + jax.lax.dot_general(
+                block, kmat,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-    return jax.lax.fori_loop(0, 9, tap,
-                             jnp.zeros((h, w, cout), jnp.float32))
+        acc = jax.lax.fori_loop(0, 3, tap, acc)
+    return acc
 
 
 def _gates_kernel_body(xh_ref, wg_ref, gr_g_ref, gr_b_ref, gu_g_ref,
-                       gu_b_ref, r_ref, u_ref, *, h, w, f):
+                       gu_b_ref, ru_ref, *, h, w, f):
     y = _conv3x3_ref(xh_ref, wg_ref, h, w, lead=0)
     r = _gn_scale_bias(y[..., :f], gr_g_ref[:], gr_b_ref[:], 8)
     u = _gn_scale_bias(y[..., f:], gu_g_ref[:], gu_b_ref[:], 8)
-    r_ref[0] = jax.nn.sigmoid(r).astype(r_ref.dtype)
-    u_ref[0] = jax.nn.sigmoid(u).astype(u_ref.dtype)
+    ru_ref[0, :, :, :f] = jax.nn.sigmoid(
+        r.astype(jnp.float32)).astype(ru_ref.dtype)
+    ru_ref[0, :, :, f:] = jax.nn.sigmoid(
+        u.astype(jnp.float32)).astype(ru_ref.dtype)
 
 
 def _reflect_pad_hw(x):
@@ -125,27 +144,34 @@ def _reflect_pad_hw(x):
     return jnp.concatenate([left, x, right], axis=1)
 
 
-def _cand_kernel_body(xh_ref, r_ref, u_ref, wc_ref, ws_ref, gc_g_ref,
+def _cand_kernel_body(xh_ref, ru_ref, wc_ref, ws_ref, gc_g_ref,
                       gc_b_ref, out_ref, scratch_ref, *, h, w, f, cx):
-    xh = xh_ref[0]
-    hh = xh[1:1 + h, 1:1 + w, cx:]                 # interior h
-    rh = (r_ref[0].astype(jnp.float32)
-          * hh.astype(jnp.float32)).astype(xh.dtype)
-    rh_pad = _reflect_pad_hw(rh)
-    # materialize the candidate conv input in VMEM scratch so the tap
-    # loop can slice it as a ref
-    scratch_ref[:, :, :cx] = xh[..., :cx]
-    scratch_ref[:, :, cx:] = rh_pad
-    y = _conv3x3_ref(scratch_ref, wc_ref, h, w)     # (H, W, F) fp32
+    # Assemble the candidate conv input [x, reflect_pad(r*h)] directly
+    # in VMEM scratch with ref writes — no value-level concats (each
+    # would materialize another (H+2, W+2, C) temporary).
+    scratch_ref[:, :, :cx] = xh_ref[0, :, :, :cx]
+    r = ru_ref[0, :, :, :f].astype(jnp.float32)
+    hh = xh_ref[0, 1:1 + h, 1:1 + w, cx:].astype(jnp.float32)
+    scratch_ref[1:1 + h, 1:1 + w, cx:] = (r * hh).astype(
+        scratch_ref.dtype)
+    # reflect pad of the rh block: row/col 0 mirrors row/col 2, the
+    # far edge mirrors two in from the end (numpy 'reflect')
+    scratch_ref[0, 1:1 + w, cx:] = scratch_ref[2, 1:1 + w, cx:]
+    scratch_ref[h + 1, 1:1 + w, cx:] = scratch_ref[h - 1, 1:1 + w, cx:]
+    scratch_ref[:, 0, cx:] = scratch_ref[:, 2, cx:]
+    scratch_ref[:, w + 1, cx:] = scratch_ref[:, w - 1, cx:]
+
+    y = _conv3x3_ref(scratch_ref, wc_ref, h, w)     # (H, W, F) bf16
     gate = jax.nn.sigmoid(jax.lax.dot_general(
-        y.astype(xh.dtype), ws_ref[:],
+        y, ws_ref[:],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32))
-    y = y * gate
+    y = (y.astype(jnp.float32) * gate).astype(jnp.bfloat16)
     y = _gn_scale_bias(y, gc_g_ref[:], gc_b_ref[:], 8)
-    c = jnp.tanh(y)
-    u = u_ref[0].astype(jnp.float32)
-    h_new = u * hh.astype(jnp.float32) + (1.0 - u) * c
+    c = jnp.tanh(y.astype(jnp.float32))
+    u = ru_ref[0, :, :, f:].astype(jnp.float32)
+    hh2 = xh_ref[0, 1:1 + h, 1:1 + w, cx:].astype(jnp.float32)
+    h_new = u * hh2 + (1.0 - u) * c
     out_ref[0] = h_new.astype(out_ref.dtype)
 
 
@@ -169,17 +195,20 @@ def fused_convgru_step(xh_pad, params: FusedGRUParams,
                            memory_space=pltpu.VMEM)
     spec_hw_f = pl.BlockSpec((1, h, w, f), sample,
                              memory_space=pltpu.VMEM)
+    spec_hw_2f = pl.BlockSpec((1, h, w, 2 * f), sample,
+                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
 
-    r, u = pl.pallas_call(
+    ru = pl.pallas_call(
         functools.partial(_gates_kernel_body, h=h, w=w, f=f),
         grid=(b,),
         in_specs=[spec_xh, full((9, cin, 2 * f)), full((f,)),
                   full((f,)), full((f,)), full((f,))],
-        out_specs=(spec_hw_f, spec_hw_f),
-        out_shape=(jax.ShapeDtypeStruct((b, h, w, f), dtype),
-                   jax.ShapeDtypeStruct((b, h, w, f), dtype)),
+        out_specs=spec_hw_2f,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 2 * f), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(xh_pad, params.gates_kernel.reshape(9, cin, 2 * f).astype(dtype),
       params.gn_r_gamma.astype(jnp.float32),
@@ -190,14 +219,16 @@ def fused_convgru_step(xh_pad, params: FusedGRUParams,
     h_new = pl.pallas_call(
         functools.partial(_cand_kernel_body, h=h, w=w, f=f, cx=cx),
         grid=(b,),
-        in_specs=[spec_xh, spec_hw_f, spec_hw_f,
+        in_specs=[spec_xh, spec_hw_2f,
                   full((9, cin, f)), full((f, 1)), full((f,)),
                   full((f,))],
         out_specs=spec_hw_f,
         out_shape=jax.ShapeDtypeStruct((b, h, w, f), dtype),
         scratch_shapes=[pltpu.VMEM((hp, wp, cin), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(xh_pad, r, u, params.cand_kernel.reshape(9, cin, f).astype(dtype),
+    )(xh_pad, ru, params.cand_kernel.reshape(9, cin, f).astype(dtype),
       params.sse_kernel.astype(dtype),
       params.gn_c_gamma.astype(jnp.float32),
       params.gn_c_beta.astype(jnp.float32))
