@@ -36,7 +36,7 @@ def _build_inputs(rng, hw=618):
     )
 
 
-def run(n_iters: int = 8, warmup: int = 2):
+def run(n_iters: int = 8, warmup: int = 2, tile_batch: int = 2):
     import jax
 
     from ttc.core.config import InferenceConfig
@@ -49,11 +49,14 @@ def run(n_iters: int = 8, warmup: int = 2):
         jax.random.PRNGKey(0),
         np.zeros((1, 5, 28, 28, 17), np.float32))
 
-    predictor = TilePredictor(params, InferenceConfig(), model)
+    predictor = TilePredictor(params, InferenceConfig(), model,
+                              tile_batch=tile_batch)
     inputs = _build_inputs(rng)
-    args = (inputs["s2_monthly"], inputs["s1_monthly"], inputs["slope"],
-            inputs["s2_median"], inputs["s1_median"],
-            inputs["clear_count"])
+    args = tuple(
+        np.stack([inputs[k]] * tile_batch) if tile_batch > 1
+        else inputs[k]
+        for k in ("s2_monthly", "s1_monthly", "slope", "s2_median",
+                  "s1_median", "clear_count"))
     args = jax.device_put(args)
 
     # NB: on the axon backend block_until_ready() returns before remote
@@ -66,7 +69,7 @@ def run(n_iters: int = 8, warmup: int = 2):
     for _ in range(n_iters):
         out = predictor(*args)
     np.asarray(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    dt = (time.perf_counter() - t0) / (n_iters * tile_batch)
     return 1.0 / dt, dt
 
 

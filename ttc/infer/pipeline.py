@@ -66,18 +66,29 @@ class TilePredictor:
         predictor = TilePredictor(params)
         raster = predictor(s2_monthly, s1_monthly, slope,
                            s2_median, s1_median, clear_count)
+
+    `tile_batch` > 1 compiles a multi-tile program that runs the model
+    over all tiles' windows as ONE batch — on v5e a 72-window forward
+    costs only ~16% more than 36, so pairing tiles nearly doubles
+    throughput. Call the predictor with batched (leading tile axis)
+    inputs in that case.
     """
 
     def __init__(self, params, cfg: InferenceConfig | None = None,
                  model: TreeCoverNet | None = None,
-                 window_batch: int = 36):
+                 tile_batch: int = 1):
         self.cfg = cfg or InferenceConfig()
         self.model = model or TreeCoverNet()
         self.params = params
-        self.window_batch = window_batch
-        self._fn = jax.jit(functools.partial(predict_tile,
-                                             model=self.model,
-                                             cfg=self.cfg))
+        self.tile_batch = tile_batch
+        if tile_batch == 1:
+            self._fn = jax.jit(functools.partial(predict_tile,
+                                                 model=self.model,
+                                                 cfg=self.cfg))
+        else:
+            self._fn = jax.jit(functools.partial(predict_tile_batch,
+                                                 model=self.model,
+                                                 cfg=self.cfg))
 
     def __call__(self, s2_monthly, s1_monthly, slope, s2_median,
                  s1_median, clear_count):
@@ -85,10 +96,41 @@ class TilePredictor:
                         s2_median, s1_median, clear_count)
 
 
+def _prepare_windows(s2_monthly, s1_monthly, slope, s2_median,
+                     s1_median, clear_count, cfg: InferenceConfig):
+    """Window batch + the per-window aux tensors for one tile."""
+    s2_q = quarterly_medians(s2_monthly)
+    s1_q = quarterly_medians(s1_monthly)
+    batch, offsets = build_model_inputs(
+        s2_q, s1_q, s2_median, s1_median, slope, cfg)  # (36,5,in,in,17)
+    norm = normalize(batch, NORM_MIN, NORM_MAX)
+
+    clear_pad = pad_tile(clear_count[..., None], cfg.halo)[..., 0]
+    clear_wins = extract_windows(clear_pad[..., None], offsets,
+                                 cfg.in_size)[..., 0]
+    return batch, norm, clear_wins
+
+
+def _postprocess(preds, batch, clear_wins, cfg: InferenceConfig):
+    """Bright-surface attenuation, clear-count nodata, mosaic."""
+    preds = preds.astype(jnp.float32)
+    bright = jax.vmap(
+        lambda w: bright_surface_weight(w, cfg.halo))(batch)
+    preds = preds * bright
+
+    nodata_mask = jax.vmap(
+        lambda cw: clear_count_mask(cw, cfg.out_size))(clear_wins)
+    window_dead = jnp.median(
+        clear_wins.reshape(clear_wins.shape[0], -1), axis=1) < 1
+    preds = jnp.where(window_dead[:, None, None], NODATA, preds)
+    preds = jnp.where(nodata_mask, NODATA, preds)
+    return mosaic_predictions(preds, cfg)
+
+
 def predict_tile(params, s2_monthly, s1_monthly, slope, s2_median,
                  s1_median, clear_count, *, model: TreeCoverNet,
                  cfg: InferenceConfig):
-    """The jitted program. Arguments:
+    """The jitted single-tile program. Arguments:
 
     s2_monthly: (12, H, W, 14) smoothed S2 bands + indices
     s1_monthly: (12, H, W, 2) S1 dB
@@ -97,35 +139,29 @@ def predict_tile(params, s2_monthly, s1_monthly, slope, s2_median,
     s1_median:  (H, W, 2)
     clear_count:(H, W) number of clear acquisitions per pixel
     """
-    s2_q = quarterly_medians(s2_monthly)
-    s1_q = quarterly_medians(s1_monthly)
-
-    batch, offsets = build_model_inputs(
-        s2_q, s1_q, s2_median, s1_median, slope, cfg)   # (36,5,in,in,17)
-
-    norm = normalize(batch, NORM_MIN, NORM_MAX)
+    batch, norm, clear_wins = _prepare_windows(
+        s2_monthly, s1_monthly, slope, s2_median, s1_median,
+        clear_count, cfg)
     preds = model.apply(params, norm)                    # (36, out, out)
-    preds = preds.astype(jnp.float32)
+    return _postprocess(preds, batch, clear_wins, cfg)
 
-    # bright bare-surface attenuation on unnormalized windows
-    bright = jax.vmap(
-        lambda w: bright_surface_weight(w, cfg.halo))(batch)
-    preds = preds * bright
 
-    # no-data from clear-image counts
-    clear_pad = pad_tile(clear_count[..., None], cfg.halo)[..., 0]
-    clear_wins = extract_windows(clear_pad[..., None], offsets,
-                                 cfg.in_size)[..., 0]
-    nodata_mask = jax.vmap(
-        lambda cw: clear_count_mask(cw, cfg.out_size))(clear_wins)
-
-    # whole-window kill: median clear count < 1
-    window_dead = jnp.median(
-        clear_wins.reshape(clear_wins.shape[0], -1), axis=1) < 1
-    preds = jnp.where(window_dead[:, None, None], NODATA, preds)
-    preds = jnp.where(nodata_mask, NODATA, preds)
-
-    return mosaic_predictions(preds, cfg)
+def predict_tile_batch(params, s2_monthly, s1_monthly, slope,
+                       s2_median, s1_median, clear_count, *,
+                       model: TreeCoverNet, cfg: InferenceConfig):
+    """Multi-tile program: inputs have a leading tile axis; all tiles'
+    windows run through the model as one (T*36, ...) batch."""
+    batch, norm, clear_wins = jax.vmap(
+        lambda a, b, c, d, e, f: _prepare_windows(a, b, c, d, e, f,
+                                                  cfg))(
+        s2_monthly, s1_monthly, slope, s2_median, s1_median,
+        clear_count)
+    t, n = norm.shape[0], norm.shape[1]
+    flat = norm.reshape((t * n,) + norm.shape[2:])
+    preds = model.apply(params, flat)
+    preds = preds.reshape((t, n) + preds.shape[1:])
+    return jax.vmap(lambda p, b, c: _postprocess(p, b, c, cfg))(
+        preds, batch, clear_wins)
 
 
 def predict_windows(params, batch, model: TreeCoverNet):
