@@ -1,0 +1,112 @@
+"""Geodesy and window-grid parity tests."""
+import numpy as np
+import pytest
+
+from tests.reference_harness import load_reference_fns, reference_available
+from ttc.core.geo import make_bbox, utm_epsg, utm_to_wgs, wgs_to_utm
+from ttc.core.windows import make_overlapping_windows, tile_window, window_grid
+
+
+@pytest.mark.parametrize("lon,lat", [(-60.0, -3.0), (13.5, 52.5),
+                                     (101.7, 3.1), (-122.4, 37.8),
+                                     (36.8, -1.3)])
+def test_utm_roundtrip(lon, lat):
+    e, n, epsg = wgs_to_utm(lon, lat)
+    lon2, lat2 = utm_to_wgs(e, n, epsg)
+    assert abs(lon2 - lon) < 1e-8
+    assert abs(lat2 - lat) < 1e-8
+
+
+def test_utm_epsg_matches_reference():
+    if not reference_available():
+        pytest.skip("no reference")
+    fns = load_reference_fns("src/downloading/utils.py",
+                             ["calculate_epsg"])
+    for lon, lat in [(-60, -3), (13.5, 52.5), (101.7, 3.1),
+                     (-122.4, 37.8), (179.9, -45.0), (-179.9, 60.0)]:
+        assert utm_epsg(lon, lat) == fns["calculate_epsg"]((lon, lat))
+
+
+def test_utm_known_value():
+    # UTM zone 33N reference point (Berlin-ish): verified vs proj
+    e, n, epsg = wgs_to_utm(13.4050, 52.5200)
+    assert epsg == 32633
+    # coarse plausibility (exact value cross-checked by the roundtrip
+    # test; this guards against zone/scale-level mistakes)
+    assert abs(e - 391776.0) < 10.0
+    assert abs(n - 5820073.0) < 10.0
+
+
+def test_make_bbox_matches_reference():
+    if not reference_available():
+        pytest.skip("no reference")
+    fns = load_reference_fns("src/download_and_predict_job.py",
+                             ["make_bbox"])
+    import copy as _copy
+
+    ns_extra = {"copy": _copy}
+    fns["make_bbox"].__globals__.update(ns_extra)
+    initial = [10.0, -5.0, 10.1, -4.9]
+    np.testing.assert_allclose(make_bbox(initial, 300),
+                               fns["make_bbox"](initial, 300))
+
+
+def test_tile_window_matches_reference(rng):
+    if not reference_available():
+        pytest.skip("no reference")
+    fns = load_reference_fns("src/downloading/utils.py", ["tile_window"])
+    for h, w, size in [(618, 618, 100), (500, 700, 150), (256, 256, 64)]:
+        ref = np.asarray(fns["tile_window"](h, w, window_size=size),
+                         np.int64)
+        got = tile_window(h, w, window_size=size)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_make_overlapping_windows_matches_reference():
+    if not reference_available():
+        pytest.skip("no reference")
+    fns = load_reference_fns("src/tof/tof_downloading.py",
+                             ["make_overlapping_windows"])
+    # the production 6x6 grid of 158px windows
+    xs = window_grid(618, 158, 6)
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    tiles = np.stack([xx.ravel(), yy.ravel(),
+                      np.full(36, 158), np.full(36, 158)], axis=-1)
+    ref = fns["make_overlapping_windows"](tiles.astype(np.uint16), 7)
+    got = make_overlapping_windows(tiles, 7)
+    np.testing.assert_array_equal(got, np.asarray(ref, np.int64))
+
+
+def test_predict_tile_batch_matches_single():
+    import jax
+
+    from ttc.core.config import InferenceConfig
+    from ttc.infer.pipeline import TilePredictor
+    from ttc.models.unet import TreeCoverNet
+
+    cfg = InferenceConfig(tile_px=110, out_size=66, n_rows=3)
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    single = TilePredictor(params, cfg, model)
+    double = TilePredictor(params, cfg, model, tile_batch=2)
+
+    rng = np.random.default_rng(2)
+    tiles = []
+    for _ in range(2):
+        tiles.append(dict(
+            s2=rng.random((12, 110, 110, 14), np.float32) * 0.4,
+            s1=rng.random((12, 110, 110, 2), np.float32) * 0.6,
+            slope=rng.random((110, 110), np.float32) * 0.3,
+            s2m=rng.random((110, 110, 14), np.float32) * 0.4,
+            s1m=rng.random((110, 110, 2), np.float32) * 0.6,
+            cc=np.full((110, 110), 8.0, np.float32)))
+
+    singles = [np.asarray(single(t["s2"], t["s1"], t["slope"],
+                                 t["s2m"], t["s1m"], t["cc"]))
+               for t in tiles]
+    batched = np.asarray(double(
+        *[np.stack([t[k] for t in tiles])
+          for k in ("s2", "s1", "slope", "s2m", "s1m", "cc")]))
+    np.testing.assert_array_equal(batched[0], singles[0])
+    np.testing.assert_array_equal(batched[1], singles[1])

@@ -103,15 +103,14 @@ def utm_to_wgs(easting: float, northing: float, epsg: int
 
     e = math.sqrt(_E2)
     chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+    # invert the conformal latitude by fixed-point iteration:
+    # phi = 2*atan(tan(pi/4 + chi/2) * ((1+e sin phi)/(1-e sin phi))^(e/2)) - pi/2
     phi = chi
-    for _ in range(8):
-        t = math.sinh(
-            math.atanh(math.sin(phi)) - e * math.atanh(e * math.sin(phi))
-        )
-        phi += (math.sin(chi) * math.cosh(eta_p) - t) \
-            / math.sqrt(1 + t * t) * math.sqrt(1 - _E2 * math.sin(phi) ** 2) \
-            / math.cos(phi) * (1 - _E2 * math.sin(phi) ** 2) / (1 - _E2)
-        # Newton refinement of tau from tau'
+    base = math.tan(math.pi / 4 + chi / 2)
+    for _ in range(12):
+        es = e * math.sin(phi)
+        phi = 2 * math.atan(base * ((1 + es) / (1 - es)) ** (e / 2)) \
+            - math.pi / 2
     lam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
     return math.degrees(lam + lam0), math.degrees(phi)
 
