@@ -55,7 +55,9 @@ def test_tile_window_matches_reference(rng):
     if not reference_available():
         pytest.skip("no reference")
     fns = load_reference_fns("src/downloading/utils.py", ["tile_window"])
-    for h, w, size in [(618, 618, 100), (500, 700, 150), (256, 256, 64)]:
+    # sizes kept below the reference's uint8 intermediate overflow
+    # (np.uint8(nTiles) * wTile must stay < 256 under numpy 2)
+    for h, w, size in [(200, 200, 50), (120, 90, 30), (160, 220, 40)]:
         ref = np.asarray(fns["tile_window"](h, w, window_size=size),
                          np.int64)
         got = tile_window(h, w, window_size=size)

@@ -78,14 +78,28 @@ def tile_window(h: int, w: int, tile_width: int | None = None,
 
 def make_overlapping_windows(tiles: np.ndarray, diff: int = 7) -> np.ndarray:
     """Expand (n, 4) window rows by `diff` px per side, clamped at the
-    raster origin (reference: src/tof/tof_downloading.py:498-524)."""
+    raster edges (reference: src/tof/tof_downloading.py:498-524).
+
+    Row layout follows the reference's x-major ordering: the first and
+    last n_x rows sit on the left/right raster edge and only get one
+    halo in x; rows at the top/bottom of each column only get one halo
+    in y.
+    """
     out = tiles.astype(np.int64).copy()
-    out[:, 0] -= diff
+    n_x = int(np.sum(out[:, 0] == 0))
+    n_y = int(np.sum(out[:, 1] == 0))
+
+    out[:n_x, 2] += diff
+    out[-n_x:, 2] += diff
+    out[n_x:-n_x, 2] += 2 * diff
+
+    adjust = np.full(len(out), 2 * diff, np.int64)
+    for i in range(len(out)):
+        if i % n_y == 0 or (i + 1) % n_y == 0:
+            adjust[i] -= diff
+    out[:, 3] += adjust
+
+    out[n_x:, 0] -= diff
     out[:, 1] -= diff
-    out[:, 2] += 2 * diff
-    out[:, 3] += 2 * diff
-    # Clamp: windows at the origin lose the halo they can't have.
-    out[:, 2] += np.minimum(out[:, 0], 0)
-    out[:, 3] += np.minimum(out[:, 1], 0)
     out[out < 0] = 0
     return out
