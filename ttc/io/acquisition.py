@@ -166,7 +166,10 @@ class RawTile:
     clouds: np.ndarray         # (T, h, w) float [0,1] preview probs
     s1: np.ndarray             # (12, H, W, 2) float32 monthly dB [0,1]
     s1_dates: np.ndarray       # (12,) int
-    dem: np.ndarray            # (H+2, W+2) float32 meters
+    dem: np.ndarray            # (H, W) float32 SLOPE in degrees — the
+                               # reference computes slope at download
+                               # time (tof_downloading.py:451-495) and
+                               # the raw dem_{tile}.hkl stores it
 
 
 class AcquisitionBackend(Protocol):
@@ -222,8 +225,16 @@ class FixtureBackend:
             rng.gamma(4.0, 0.02, (4, hw, hw, 2)), 1e-4, 1.0)
         s1 = s1_quarterly_to_monthly(to_db(s1_lin, 22), q_dates)
 
-        dem = (300 + 80 * np.sin(np.linspace(0, 4, hw + 2))[:, None]
-               + rng.normal(0, 2, (hw + 2, hw + 2))).astype(np.float32)
+        # synthetic elevation -> slope degrees, like the reference's
+        # download-time calcSlope (10 m pixels, min slope 0.02)
+        import jax.numpy as jnp
+
+        from ttc.ops.slope import calc_slope
+
+        elev = (300 + 80 * np.sin(np.linspace(0, 4, hw + 2))[:, None]
+                + rng.normal(0, 2, (hw + 2, hw + 2))).astype(np.float32)
+        dem = np.asarray(calc_slope(jnp.asarray(elev), 10.0, 10.0,
+                                    min_slope=0.02))[1:-1, 1:-1]
 
         return RawTile(
             s2_10=to_int16_strict(s2[..., :4]),
@@ -328,10 +339,13 @@ class SentinelHubBackend:
     """Live SentinelHub acquisition. Requires the `sentinelhub` package
     and credentials — both gated; constructing without them raises a
     clear error. Mirrors the request structure of the reference
-    (reference: tof_downloading.py:257-448,527-714,913-1140)."""
+    (reference: tof_downloading.py:257-448,527-714,913-1140):
+    640 m cloud previews over a 15x bbox for date screening, per-band-
+    group Process API requests with darkest-pixel orbit mosaicking,
+    quarterly S1 GRD composites, and download-time DEM slope."""
 
     def __init__(self, instance_id: str = "", client_id: str = "",
-                 client_secret: str = ""):
+                 client_secret: str = "", maxclouds: float = 0.4):
         try:
             import sentinelhub  # noqa: F401
         except ImportError as e:
@@ -347,12 +361,144 @@ class SentinelHubBackend:
             cfg.sh_client_id = client_id
             cfg.sh_client_secret = client_secret
         self.config = cfg
+        self.maxclouds = maxclouds
+
+    def _process_request(self, evalscript, bbox, time_interval, size,
+                         collection_name="SENTINEL2_L2A",
+                         mosaicking_order=None):
+        from sentinelhub import (
+            BBox, CRS, DataCollection, MimeType, SentinelHubRequest,
+        )
+
+        collection = getattr(DataCollection, collection_name)
+        input_kwargs = {"time_interval": time_interval}
+        if mosaicking_order:
+            input_kwargs["mosaicking_order"] = mosaicking_order
+        request = SentinelHubRequest(
+            evalscript=evalscript,
+            input_data=[SentinelHubRequest.input_data(
+                data_collection=collection, **input_kwargs)],
+            responses=[SentinelHubRequest.output_response(
+                "default", MimeType.TIFF)],
+            bbox=BBox(list(bbox), crs=CRS.WGS84),
+            size=size,
+            config=self.config)
+        return np.asarray(request.get_data())
 
     def fetch(self, tile_x: int, tile_y: int, bbox, year: int) -> RawTile:
-        raise NotImplementedError(
-            "live acquisition requires network access; structure the "
-            "calls per band group with the EVALSCRIPT_* constants and "
-            "screen dates via screen_cloud_previews")
+        """bbox: (min_lon, min_lat, max_lon, max_lat) of the 6x6 km
+        tile; the cloud-preview bbox is expanded 15x for cross-tile
+        date consistency (reference: download_and_predict_job.py:497-499)."""
+        from ttc.core.geo import make_bbox
+
+        span = (f"{year - 1}-11-15", f"{year + 1}-02-15")
+        big_bbox = make_bbox(list(bbox), expansion=300 * 15 // 10)
+
+        # 1. date screening from 640 m cloud previews
+        previews, dates = self._get_cloud_previews(big_bbox, span, year)
+        cloud_img, cloud_pct, dates, local = screen_cloud_previews(
+            previews, dates, self.maxclouds)
+        from ttc.preprocess.dates import select_sunny_dates
+
+        to_rm = select_sunny_dates(dates, cloud_pct)
+        keep = np.setdiff1d(np.arange(len(dates)), to_rm)
+        dates = dates[keep]
+        cloud_img = cloud_img[keep]
+
+        # 2. per-date S2 band groups (10 m and 20 m)
+        h10 = int(round((bbox[3] - bbox[1]) * 360 * 10))
+        s2_10 = []
+        s2_20 = []
+        for d in dates:
+            day = (f"{year}-01-01", d)
+            window = _doy_interval(year, int(d))
+            img10 = self._process_request(
+                EVALSCRIPT_L2A10, bbox, window, (h10, h10),
+                mosaicking_order="leastCC")[0]
+            img20a = self._process_request(
+                EVALSCRIPT_L2A20, bbox, window, (h10 // 2, h10 // 2),
+                mosaicking_order="leastCC")[0]
+            img20b = self._process_request(
+                EVALSCRIPT_L2A40, bbox, window, (h10 // 2, h10 // 2),
+                mosaicking_order="leastCC")[0]
+            s2_10.append(img10)
+            s2_20.append(np.concatenate([img20a, img20b], axis=-1))
+            del day
+        s2_10 = np.stack(s2_10)
+        s2_20 = np.stack(s2_20)
+
+        # 3. quarterly S1 composites -> monthly dB
+        q_dates = np.array([45, 136, 227, 318])
+        s1_q = []
+        for qi in range(4):
+            start = (f"{year}-{1 + qi * 3:02d}-01")
+            end_m = 3 + qi * 3
+            end = (f"{year}-{end_m:02d}-28")
+            arr = self._process_request(
+                EVALSCRIPT_S1, bbox, (start, end), (h10 // 2, h10 // 2),
+                collection_name="SENTINEL1_IW")[0]
+            s1_q.append(np.repeat(np.repeat(arr, 2, 0), 2, 1)[:h10, :h10])
+        s1_lin = np.clip(np.stack(s1_q), 1e-5, 1.0)
+        s1 = s1_quarterly_to_monthly(
+            np.asarray(to_db(s1_lin, 22)), q_dates)
+
+        # 4. DEM -> slope at download time (reference :451-495)
+        import jax.numpy as jnp
+
+        from ttc.ops.slope import calc_slope
+
+        dem_raw = self._process_request(
+            EVALSCRIPT_DEM, make_bbox(list(bbox), 1), span,
+            (h10 + 2, h10 + 2), collection_name="DEM_COPERNICUS_30")[0]
+        elev = dem_raw.astype(np.float32).squeeze() - 12000.0
+        slope = np.asarray(calc_slope(jnp.asarray(elev), 10.0, 10.0,
+                                      min_slope=0.02))[1:-1, 1:-1]
+
+        return RawTile(
+            s2_10=s2_10.astype(np.uint16),
+            s2_20=s2_20.astype(np.uint16),
+            s2_dates=np.asarray(dates),
+            clouds=cloud_img,
+            s1=s1.astype(np.float32),
+            s1_dates=np.arange(15, 360, 30),
+            dem=slope,
+        )
+
+    def _get_cloud_previews(self, big_bbox, span, year):
+        from sentinelhub import BBox, CRS, DataCollection, MimeType, WcsRequest
+
+        import datetime as _dt
+
+        request = WcsRequest(
+            data_collection=DataCollection.SENTINEL2_L2A,
+            layer="CLOUD_SCL_PREVIEW",
+            bbox=BBox(list(big_bbox), crs=CRS.WGS84),
+            time=span, resx="640m", resy="640m",
+            image_format=MimeType.TIFF, maxcc=0.5,
+            config=self.config,
+            time_difference=_dt.timedelta(hours=48))
+        dates = extract_dates(list(request.get_dates()), year)
+        imgs = np.asarray(request.get_data()).astype(np.float32)
+        return imgs, np.asarray(dates)
+
+
+def _doy_interval(year: int, doy: int):
+    import datetime as _dt
+
+    base = _dt.date(year, 1, 1) + _dt.timedelta(days=int(doy) - 1)
+    return (str(base - _dt.timedelta(days=1)),
+            str(base + _dt.timedelta(days=1)))
+
+
+EVALSCRIPT_DEM = """//VERSION=3
+function setup() {
+  return {input: [{bands: ["DEM"]}],
+          output: {bands: 1, sampleType: "UINT16"}};
+}
+function evaluatePixel(sample) {
+  return [sample.DEM + 12000];
+}
+"""
 
 
 # Sentinel-1 orbit selection (reference identify_s1_layer,
