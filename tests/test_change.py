@@ -140,3 +140,45 @@ def test_make_all_kde_shapes(rng):
     f, m, b, h, pct = make_all_kde(ard, stable, maxpx=200)
     assert f.shape == ard.shape
     assert pct.max() <= 0.95 and pct.min() >= 0.0
+
+
+def test_counterfactuals_match_reference(rng):
+    if not reference_available():
+        pytest.skip("no reference")
+    import math
+
+    from ttc.change.counterfactuals import (
+        calc_reference_change,
+        calc_threshold_for_notree,
+        calc_tree_change,
+        round_down,
+    )
+
+    fns = load_reference_fns(
+        "src/change/change.py",
+        ["calc_reference_change", "calc_tree_change",
+         "calc_threshold_for_notree", "round_down", "round_up"])
+    # NB: the reference file defines calc_tree_change twice; the
+    # extraction keeps the later (winning) definition last, matching
+    # Python module semantics.
+    ma = rng.random((40, 50, 50)).astype(np.float32)
+    dem = (rng.random((50, 50)) * 40).astype(np.float32)
+    notree = rng.random((50, 50)) < 0.5
+    stable = rng.random((50, 50)) < 0.5
+
+    ref_cf = fns["calc_reference_change"](ma.copy(), 0, 20, notree, dem)
+    got_cf = calc_reference_change(ma, 0, 20, notree, dem)
+    np.testing.assert_allclose(got_cf, ref_cf, rtol=1e-6)
+
+    ref_tc = fns["calc_tree_change"](ma.copy(), 90, stable, dem)
+    got_tc = calc_tree_change(ma, 90, stable, dem)
+    np.testing.assert_allclose(got_tc, ref_tc, rtol=1e-6)
+
+    fns["calc_threshold_for_notree"].__globals__["round_down"] = \
+        fns["round_down"]
+    fns["calc_threshold_for_notree"].__globals__["math"] = math
+    for v in (0.1, 0.33, 0.61, 0.9):
+        np.testing.assert_allclose(
+            calc_threshold_for_notree(v, got_tc),
+            fns["calc_threshold_for_notree"](v, ref_tc),
+            rtol=1e-6, equal_nan=True)
