@@ -182,3 +182,23 @@ def test_counterfactuals_match_reference(rng):
             calc_threshold_for_notree(v, got_tc),
             fns["calc_threshold_for_notree"](v, ref_tc),
             rtol=1e-6, equal_nan=True)
+
+
+def test_gain_subtle_matches_reference(rng):
+    if not reference_available():
+        pytest.skip("no reference")
+    from ttc.change.counterfactuals import check_for_gain_subtle
+
+    fns = load_reference_fns("src/change/change.py",
+                             ["check_for_gain_subtle"])
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        ma = np.clip(r.normal(0.1, 0.12, 40), 0, 1).astype(np.float32)
+        ref = [int(v) for v in fns["check_for_gain_subtle"](ma.copy())]
+        got = check_for_gain_subtle(ma)
+        assert got == ref, seed
+    # planted: low run then sustained trees
+    ma = np.concatenate([np.full(4, 0.08), np.full(3, 0.01),
+                         np.full(25, 0.3)]).astype(np.float32)
+    assert check_for_gain_subtle(ma) == \
+        [int(v) for v in fns["check_for_gain_subtle"](ma)]

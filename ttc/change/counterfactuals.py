@@ -84,3 +84,22 @@ def calc_threshold_for_notree(maxval, cfs_trees):
     maxval = round_down(maxval, 0.05)
     maxval = np.clip(maxval, 0.2, 0.75)
     return cfs_trees[int(maxval // 0.05) - 3]
+
+
+def check_for_gain_subtle(ma):
+    """Subtle-gain detector on one pixel's NDMI-percentile moving
+    average (reference :777-796): a sustained near-zero run (2 at 2.5%
+    or 3 at 5%) with no recurrence for ~20 images, no tree history
+    before, and >=10 tree-level images after."""
+    gain_events = []
+    ma = np.asarray(ma)
+    for thresh, run in ((0.025, 2), (0.05, 3)):
+        for i in np.argwhere(ma < thresh).flatten():
+            if i < (ma.shape[0] - 5) and i >= 3:
+                if np.sum(ma[i:i + run] <= thresh) == run:
+                    if np.sum(ma[i + 2:i + 22] < thresh) == 0:
+                        previous_tree = np.sum(ma[:i] > 0.10) >= 2
+                        future_tree = np.sum(ma[i:] > 0.10) >= 10
+                        if not previous_tree and future_tree:
+                            gain_events.append(int(i))
+    return gain_events
