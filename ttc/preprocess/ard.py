@@ -183,15 +183,13 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
         filled = np.delete(filled, to_rm, 0)
         dates = np.delete(dates, to_rm)
         interp = np.delete(interp, to_rm, 0)
-        cs, fc = identify_clouds_shadows(jnp.asarray(filled),
-                                         jnp.asarray(dem))
+        cs, _ = identify_clouds_shadows(jnp.asarray(filled),
+                                        jnp.asarray(dem))
         cloudshad = np.asarray(cs)
         interp = np.asarray(interp_weights(cs, 12.0, closing=15))
-    else:
-        cloudshad = cloudshad if len(to_rm) == 0 else cloudshad
 
     return ProcessedTile(np.clip(filled, 0, 1), dates, interp, s1,
-                         dem / 90.0, cloudshad[:filled.shape[0]], snow)
+                         dem / 90.0, cloudshad, snow)
 
 
 def make_and_smooth_indices(s2: np.ndarray, dates: np.ndarray,
