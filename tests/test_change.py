@@ -202,3 +202,49 @@ def test_gain_subtle_matches_reference(rng):
                          np.full(25, 0.3)]).astype(np.float32)
     assert check_for_gain_subtle(ma) == \
         [int(v) for v in fns["check_for_gain_subtle"](ma)]
+
+
+def test_gain_large_matches_reference(rng):
+    if not reference_available():
+        pytest.skip("no reference")
+    import math
+
+    from scipy.ndimage import minimum_filter1d
+
+    from ttc.change.counterfactuals import check_for_gain_large
+
+    fns = load_reference_fns(
+        "src/change/change.py",
+        ["check_for_gain_large", "min_filter1d",
+         "calc_threshold_for_notree", "round_down"])
+    g = fns["check_for_gain_large"].__globals__
+    g["minimum_filter1d"] = minimum_filter1d
+    g["min_filter1d"] = fns["min_filter1d"]
+    g["calc_threshold_for_notree"] = fns["calc_threshold_for_notree"]
+    g["round_down"] = fns["round_down"]
+    g["math"] = math
+
+    counterfactual = [0.15 + 0.01 * k + 0.05 * k for k in range(13)]
+    cfs_trees = [0.1] * 12
+    n_match = 0
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        base = np.clip(r.normal(0.15, 0.05, 20), 0, 1)
+        trees = np.clip(r.normal(0.6, 0.08, 20), 0, 1)
+        ma = np.concatenate([base, trees]).astype(np.float32) \
+            if seed % 2 else np.clip(
+                r.normal(0.3, 0.15, 40), 0, 1).astype(np.float32)
+        for deforested in (False, True):
+            ref = fns["check_for_gain_large"](
+                ma.copy(), deforested, 0.4, list(counterfactual),
+                list(cfs_trees), list(cfs_trees), modifier=0.0,
+                verbose=False)
+            got = check_for_gain_large(
+                ma, deforested, 0.4, list(counterfactual),
+                list(cfs_trees), list(cfs_trees), modifier=0.0)
+            assert [int(v) for v in got[0]] == \
+                [int(v) for v in ref[0]], (seed, deforested)
+            np.testing.assert_allclose(got[1], ref[1], atol=1e-6)
+            assert got[2] == ref[2], (seed, deforested)
+            n_match += 1
+    assert n_match == 24
