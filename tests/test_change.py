@@ -248,3 +248,32 @@ def test_gain_large_matches_reference(rng):
             assert got[2] == ref[2], (seed, deforested)
             n_match += 1
     assert n_match == 24
+
+
+def test_filter_gain_px_accepts_real_gain(rng):
+    """Planted gain patch accepted; random-noise patch rejected."""
+    from ttc.change.counterfactuals import filter_gain_px
+
+    t, hw = 40, 60
+    percentiles = np.clip(rng.normal(0.15, 0.03, (t, hw, hw)), 0, 1) \
+        .astype(np.float32)
+    # gain patch: low -> high halfway through
+    percentiles[20:, 10:30, 10:30] = np.clip(
+        rng.normal(0.7, 0.03, (20, 20, 20)), 0, 1)
+    gain2 = np.zeros((hw, hw), np.uint8)
+    gain2[10:30, 10:30] = 3
+    gain2[40:55, 40:55] = 2  # noise patch, no NDMI signal
+    loss2 = np.zeros((hw, hw), np.uint8)
+    fs = np.full((8, hw, hw), 20.0, np.float32)
+    fs[4:, 10:30, 10:30] = 80.0
+    dem = np.full((hw, hw), 5.0, np.float32)
+    notree = np.ones((hw, hw), bool)
+    cfs = [0.2 + 0.02 * k for k in range(13)]
+
+    gainpx, labels, additional, gaindates = filter_gain_px(
+        gain2, loss2, percentiles, fs, cfs, cfs, cfs,
+        [0.1] * 12, [0.1] * 12, notree, dem,
+        np.arange(t) * 70, [5] * 8)
+    accepted = np.isin(labels, gainpx)
+    assert accepted[15, 15]          # planted gain kept
+    assert not accepted[45, 45]      # noise patch rejected

@@ -201,3 +201,165 @@ def check_for_gain_large(ma, deforested, reference, counterfactual,
             return gain_events, final_ref, gain_date
         return [], final_ref, 0
     return [], final_ref, 0
+
+
+def moving_average(a, n: int = 3):
+    """Trailing moving average, output length len(a) - n + 1
+    (reference :89-94)."""
+    ret = np.cumsum(np.asarray(a), dtype=float)
+    ret[n:] = ret[n:] - ret[:-n]
+    return ret[n - 1:] / n
+
+
+def calc_max_tc_decrease(mean_treecover):
+    """Forward-looking maximum tree-cover decrease (reference
+    :981-998)."""
+    _max = 0.0
+    _min = 100.0
+    maxidx = 0
+    minidx = 0
+    maxdiff = 0.0
+    for i in range(mean_treecover.shape[0]):
+        if mean_treecover[i] <= _min:
+            minidx = i
+            _min = mean_treecover[i]
+            maxdiff = _min - _max
+        if mean_treecover[i] >= _max:
+            if maxidx <= minidx:
+                _max = mean_treecover[i]
+                maxidx = i
+    return maxdiff
+
+
+def filter_gain_px(gain2, loss2, percentiles, fs, cfs_flat, cfs_hill,
+                   cfs_steep, cfs_trees, cfs_trees10, notree, dem,
+                   dates, n_imgs_per_year, modifier: float = 0.0):
+    """Patch-level gain filtering (reference :1001-1225): per connected
+    gain patch, run the large/subtle gain detectors on the patch-mean
+    NDMI-percentile series with slope-stratified counterfactuals and
+    treecover-dip modifiers; deforested patches split into deforested /
+    non-deforested halves.
+
+    Returns (accepted_patch_ids, patch_labels, additional_gain,
+    gain_dates)."""
+    from scipy import ndimage
+    from scipy.ndimage import binary_dilation
+
+    from ttc.change.events import remove_noise
+
+    gain2 = remove_noise(np.asarray(gain2).astype(np.uint8), 8)
+    labels, n_labels = ndimage.label(gain2)
+
+    if notree.any():
+        reference = np.percentile(percentiles[:, notree], 90)
+    else:
+        reference = 0.2
+    reference = float(np.clip(reference, 0.20, 0.40))
+
+    loss_dilated = binary_dilation(np.copy(loss2),
+                                   ndimage.generate_binary_structure(2, 1),
+                                   3)
+    additional_gain = np.zeros_like(labels, dtype=np.int32)
+    year = 0
+    gainpx = []
+    gaindates = []
+
+    for idx in range(1, n_labels):
+        patch = labels == idx
+        n_px = int(np.sum(patch))
+        if n_px == 0:
+            continue
+        means = np.mean(percentiles[:, patch], axis=1)
+        deforested = np.mean(loss_dilated[patch] > 0) > 0.1
+        mean_slope = np.mean(dem[patch])
+        cfs = cfs_flat if mean_slope < 10 else cfs_hill
+        if mean_slope >= 20:
+            cfs = cfs_steep
+
+        if deforested and n_px > 125:
+            d_area = patch & (loss2 > 0)
+            nd_area = patch & (loss2 == 0)
+            mean_tc = np.around(np.mean(fs[:, d_area], axis=1), 1)
+            d_ma = moving_average(np.mean(percentiles[:, d_area],
+                                          axis=1), n=5)
+            nd_ma = moving_average(np.mean(percentiles[:, nd_area],
+                                           axis=1), n=5) \
+                if nd_area.any() else np.array([np.nan])
+
+            d_gain = []
+            if not np.isnan(d_ma).any():
+                d_gain, _, _ = check_for_gain_large(
+                    d_ma, True, reference, cfs, cfs_trees, cfs_trees10,
+                    modifier)
+            nd_gain = []
+            if not np.isnan(nd_ma).any():
+                max_dec = np.around(calc_max_tc_decrease(mean_tc), 1)
+                dec_mod = 0.1 if max_dec < -30 else (
+                    0.05 if max_dec < -20 else 0.0)
+                nd_gain, _, _ = check_for_gain_large(
+                    nd_ma, False, reference, cfs, cfs_trees,
+                    cfs_trees10, modifier + dec_mod)
+            if nd_gain:
+                additional_gain[patch & (loss2 == 0)] = \
+                    gain2[patch & (loss2 == 0)]
+            if d_gain:
+                additional_gain[patch & (loss2 > 0)] = \
+                    gain2[patch & (loss2 > 0)]
+            continue
+
+        # non-deforested patch: process as-is
+        ma = moving_average(means, n=5)
+        mean_tc = np.around(np.mean(fs[:, patch], axis=1), 1)
+        max_dec = np.around(calc_max_tc_decrease(mean_tc), 1)
+        if max_dec < -30:
+            dec_mod = float(np.clip(abs((max_dec + 30) / 100) + 0.1,
+                                    0.1, 0.2))
+        elif max_dec < -20:
+            dec_mod = float(np.clip(abs((max_dec + 20) / 200) + 0.05,
+                                    0.05, 0.1))
+        else:
+            dec_mod = 0.0
+        large_gain, gval, gdate = check_for_gain_large(
+            ma, deforested, reference, cfs, cfs_trees, cfs_trees10,
+            modifier + dec_mod)
+        subtle = check_for_gain_subtle(ma) if mean_slope < 10 else []
+
+        if not large_gain and not subtle:
+            # retry per candidate year sub-patch
+            for year in np.unique(gain2[patch]):
+                if np.sum(patch & (gain2 == year)) > 50:
+                    yl = remove_noise(
+                        (patch & (gain2 == year)).astype(np.uint8), 8)
+                    yl, n_year = ndimage.label(yl)
+                    for i in range(1, n_year + 1):
+                        sub = yl == i
+                        sub_ma = moving_average(
+                            np.mean(percentiles[:, sub], axis=1), n=5)
+                        sub_def = np.mean(loss_dilated[sub] > 0) > 0.25
+                        sub_gain, _, _ = check_for_gain_large(
+                            sub_ma, sub_def, reference, cfs, cfs_trees,
+                            cfs_trees10, modifier + dec_mod)
+                        if np.sum(sub) > 10 and sub_gain:
+                            additional_gain[sub] = year
+            continue
+
+        n_gain_events = len(large_gain)
+        if n_px > 100 and year == 5 and not deforested:
+            gain_increase = 100.0  # computed for the 2022 veto below
+            if year > 2:
+                prev = np.max(fs[:int(year) - 1][:, patch], axis=0)
+                prev = np.around(np.mean(prev), 1)
+            else:
+                prev = 0.0
+            gain_increase = np.around(mean_tc[int(year)] - prev, 1)
+            if abs(max_dec) > 25 and gain_increase < 40:
+                large_gain = []
+                n_gain_events = 0
+        if n_px < 25:
+            if n_gain_events > 5:
+                gainpx.append(idx)
+                gaindates.append(gdate)
+        elif n_gain_events > 0:
+            gainpx.append(idx)
+            gaindates.append(gdate)
+    return gainpx, labels, additional_gain, gaindates
