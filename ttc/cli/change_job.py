@@ -118,6 +118,28 @@ def run_change(local_path: str, x: int, y: int, start_year: int,
                                kde2.astype(np.int16), dates, fs,
                                adjustments)
 
+    # time-series gain filtering with slope-stratified counterfactuals
+    # (reference change_job flow; change.py:661-1225)
+    from ttc.change.counterfactuals import (
+        calc_reference_change,
+        calc_tree_change,
+        filter_gain_px,
+    )
+
+    slope_deg = np.zeros_like(fs[0])  # per-tile slope raster if stored
+    notree = np.min(fs, axis=0) < 30
+    ma = pct
+    cfs_flat = calc_reference_change(ma, 0, 10, notree, slope_deg)
+    cfs_hill = calc_reference_change(ma, 10, 20, notree, slope_deg)
+    cfs_steep = calc_reference_change(ma, 20, 90, notree, slope_deg)
+    cfs_trees = calc_tree_change(ma, 90, ~notree, slope_deg)
+    gainpx, labels, additional, _ = filter_gain_px(
+        gain, loss, ma, fs, cfs_flat, cfs_hill, cfs_steep, cfs_trees,
+        cfs_trees, notree, slope_deg, dates,
+        [int(n) for n in n_per_year])
+    accepted = np.isin(labels, gainpx) | (additional > 0)
+    gain = (gain * accepted).astype(np.uint8)
+
     out_dir = out_dir or os.path.join(local_path, "change", str(x),
                                       str(y))
     os.makedirs(out_dir, exist_ok=True)
