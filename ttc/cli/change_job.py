@@ -106,10 +106,27 @@ def run_change(local_path: str, x: int, y: int, start_year: int,
     if stable.sum() < 100:
         stable = valid
 
+    # per-year loss-threshold adjustments from tile-mean TTC deltas
+    # (reference change_job.py:451-471): a symmetric dip/rebound means
+    # the baseline itself moved, so the loss threshold is offset
+    adjustments = []
+    for i in range(fs.shape[0]):
+        adj = 0.0
+        if i > 0:
+            adj = float(np.mean(fs[i] - fs[i - 1]))
+        if i < fs.shape[0] - 1:
+            adj = (adj + float(np.mean(fs[i] - fs[i + 1]))) / 2
+        adjustments.append(0.0 if i == 0 else adj)
+    adjustments = np.asarray(adjustments)
+
+    # 2017 L2A sensor-calibration outlier handling (reference :511-521)
     outliers = validate_ard(n_per_year, ndmi_stack)
-    adjustments = np.zeros(fs.shape[0])
-    for o in outliers:
-        adjustments[o] = 10.0
+    if outliers and len(n_per_year) > 2 and n_per_year[0] > 0:
+        ims2018 = ndmi_stack[n_per_year[0]:n_per_year[0]
+                             + n_per_year[1]]
+        if len(ims2018):
+            ndmi_stack[:n_per_year[0]] = np.median(ims2018, axis=0)[None]
+        fs[0] = np.mean(fs[0:2], axis=0)
 
     kde5, kde10, kde25, kde2, pct = make_all_kde(ndmi_stack, stable)
     gain, loss = detect_change(kde5.astype(np.int16),
