@@ -99,3 +99,29 @@ def test_predict_job_end_to_end(tmp_path):
                                        "ard_ndmi.h5"))
     back, _ = read_geotiff(store.final_tif_path(5, 9))
     np.testing.assert_array_equal(back[..., 0], np.asarray(raster))
+
+
+@pytest.mark.slow
+def test_predict_job_pipelined(tmp_path):
+    import jax
+
+    from ttc.cli.predict_job import run_tiles_pipelined
+    from ttc.core.config import InferenceConfig
+    from ttc.infer.pipeline import TilePredictor
+    from ttc.io.acquisition import FixtureBackend
+    from ttc.models.unet import TreeCoverNet
+
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    cfg = InferenceConfig(tile_px=110, out_size=66, n_rows=3)
+    predictor = TilePredictor(params, cfg, model)
+    store = TileStore(str(tmp_path))
+    backend = FixtureBackend(seed=4, n_dates=8, hw=110)
+
+    results = run_tiles_pipelined([(1, 1), (1, 2), (2, 1)], 2023,
+                                  backend, store, predictor)
+    assert len(results) == 3
+    for (x, y), raster in results.items():
+        assert raster.shape == (110, 110)
+        assert os.path.exists(store.final_tif_path(x, y))

@@ -140,6 +140,53 @@ def run_tile(x: int, y: int, year: int, backend, store: TileStore,
     return raster
 
 
+def run_tiles_pipelined(tiles, year, backend, store: TileStore,
+                        predictor, timer: StageTimer | None = None,
+                        ul_flag: bool = False, prefetch_depth: int = 2):
+    """Throughput mode: fetch + ARD of upcoming tiles runs in a
+    background thread while the device predicts the current one —
+    the replacement for the reference's strictly serial per-tile loop
+    (BASELINE config 5 host-overlap requirement)."""
+    import concurrent.futures as cf
+
+    timer = timer or StageTimer("pipelined")
+
+    def _prepare(xy):
+        x, y = xy
+        store.make_tile_folders(x, y)
+        raw = backend.fetch(x, y, None, year)
+        tile = process_tile(raw)
+        sm = smooth_tile(tile)
+        return x, y, tile, sm
+
+    results = {}
+    with cf.ThreadPoolExecutor(max_workers=prefetch_depth) as pool:
+        futures = [pool.submit(_prepare, xy) for xy in tiles]
+        for fut in futures:
+            x, y, tile, sm = fut.result()
+            with timer.stage("predict"):
+                raster = np.asarray(predictor(
+                    sm.s2, sm.s1, sm.dem, sm.s2_median, sm.s1_median,
+                    sm.clear_count))
+            nd = ndmi_to_int16(np.asarray(ndmi(tile.s2)))
+            save_array(os.path.join(store.tile_dir(x, y),
+                                    "ard_ndmi.h5"), nd)
+            np.save(os.path.join(store.tile_dir(x, y),
+                                 "ard_dates.npy"), tile.dates)
+            tif = store.final_tif_path(x, y)
+            write_tree_cover_tif(
+                tif, raster,
+                (0.0, 0.0, raster.shape[1] / 36000.0,
+                 raster.shape[0] / 36000.0))
+            if ul_flag:
+                store.upload(tif, store.s3_key(
+                    year, "tiles", x, y, os.path.basename(tif)))
+            results[(x, y)] = raster
+            log.info("tile %s/%s complete (pipelined)", x, y)
+    timer.log_report()
+    return results
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--country", default="")
