@@ -130,10 +130,36 @@ def _nnls_align(features, targets, sample_mask):
     return coef * scale[None, :]
 
 
+def _evi_stratified_weights(targets, mask):
+    """Sample weights reproducing the reference's EVI-equibatch
+    (reference :453-496): equal mass per EVI quintile with the <2% and
+    >98% tails boosted 10x. Deterministic weighting instead of random
+    index resampling."""
+    from ttc.ops.indices import evi
+
+    e = evi(targets)
+    big = jnp.where(mask, e, jnp.nan)
+    edges = jnp.nanpercentile(big, jnp.asarray([2.0, 20.0, 40.0, 60.0,
+                                                80.0, 98.0]))
+    bins = jnp.zeros_like(e, dtype=jnp.int32)
+    for k in range(5):
+        bins = jnp.where(e >= edges[k], k + 1, bins)
+    counts = jnp.stack([
+        jnp.sum(mask & (bins == k)) for k in range(6)]).astype(
+        jnp.float32)
+    inv = 1.0 / jnp.maximum(counts, 1.0)
+    w = inv[bins]
+    # tail boosts
+    w = jnp.where(e < edges[0], w + 10.0 * inv[0] * (e < edges[0]), w)
+    w = jnp.where(e >= edges[5], w * 10.0, w)
+    return w * mask
+
+
 def align_mosaic_to_date(arr, mosaic, interp, date: int, water_mask,
                          snow):
     """Predict date-`date` appearance of the mosaic from co-clear pixels
-    of dates t-1..t+1 (reference align_interp_array :316-575)."""
+    of dates t-1..t+1, EVI-stratified (reference align_interp_array
+    :316-575)."""
     t_total = arr.shape[0]
     lo = max(date - 1, 0) if date != t_total - 1 else max(date - 2, 0)
     hi = min(date + 2, t_total)
@@ -154,6 +180,7 @@ def align_mosaic_to_date(arr, mosaic, interp, date: int, water_mask,
     x = jnp.concatenate(f_parts, axis=0)
     y = jnp.concatenate(t_parts, axis=0)
     m = jnp.concatenate(m_parts, axis=0)
+    m = _evi_stratified_weights(y, m)
 
     coef = _nnls_align(x, y, m)
     pred = (feats @ coef).reshape(mosaic.shape[:-1] + (arr.shape[-1],))
