@@ -171,3 +171,132 @@ def resegment_pair(left_raster, right_raster, strip_predict_fn,
     left_new, right_new = blend_strip_into_rasters(
         left_raster, right_raster, preds, strip_width)
     return left_new, right_new, True
+
+
+# ------------------------------------------------------------------
+# Strip re-prediction from stored ARD borders (no re-download):
+# predict_job saves each tile's east/south border of the smoothed
+# inputs; a seam repair stitches the two borders into one strip tile
+# and runs the normal window predictor over it.
+
+BORDER_FILES = ("s2", "s1", "slope", "s2_median", "s1_median",
+                "clear_count")
+
+
+def _edge_slice(arr, edge: str, width: int):
+    """Slice a smoothed-input array's border. W axis = last spatial
+    axis; H axis = first spatial axis. Arrays are (T, H, W, C),
+    (H, W, C) or (H, W)."""
+    ndim = np.ndim(arr)
+    h_axis = 1 if ndim == 4 else 0
+    w_axis = h_axis + 1
+    axis = w_axis if edge in ("east", "west") else h_axis
+    sl = [slice(None)] * ndim
+    sl[axis] = slice(-width, None) if edge in ("east", "south") \
+        else slice(0, width)
+    return np.asarray(arr)[tuple(sl)]
+
+
+def save_border_strips(store, x, y, sm, width: int = 172):
+    """Persist all four borders of a tile's smoothed inputs
+    (ttc.preprocess.ard.SmoothedTile) for later seam repair."""
+    import os
+
+    from ttc.io.arrays import save_array
+
+    base = os.path.join(store.tile_dir(x, y), "reseg")
+    arrays = {"s2": sm.s2, "s1": sm.s1, "slope": sm.dem,
+              "s2_median": sm.s2_median, "s1_median": sm.s1_median,
+              "clear_count": sm.clear_count}
+    for edge in ("east", "west", "south", "north"):
+        for name, arr in arrays.items():
+            save_array(os.path.join(base, f"{edge}_{name}.h5"),
+                       _edge_slice(arr, edge, width))
+
+
+def load_border_strips(store, x, y, edge: str):
+    """Load one tile's stored border bundle, or None if absent."""
+    import os
+
+    from ttc.io.arrays import load_array
+
+    base = os.path.join(store.tile_dir(x, y), "reseg")
+    out = {}
+    for name in BORDER_FILES:
+        path = os.path.join(base, f"{edge}_{name}.h5")
+        if not os.path.exists(path):
+            return None
+        out[name] = load_array(path)
+    return out
+
+
+def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
+                        direction: str = "x", strip_width: int = 158):
+    """Build a strip-predict callable from stored border ARD: left
+    tile's trailing edge + right tile's leading edge, histogram-aligned
+    at the seam, through the normal window predictor. Returns None when
+    either border bundle is missing (caller falls back to blending)."""
+    left = load_border_strips(store, *left_xy,
+                              "east" if direction == "x" else "south")
+    right = load_border_strips(store, *right_xy,
+                               "west" if direction == "x" else "north")
+    if left is None or right is None:
+        return None
+
+    import jax
+
+    from ttc.core.config import InferenceConfig
+    from ttc.infer.pipeline import TilePredictor
+    from ttc.models.unet import TreeCoverNet
+
+    def _cat(name, axis):
+        la, ra = left[name], right[name]
+        if direction == "y":
+            # rotate north-south into the east-west frame
+            la = np.swapaxes(la, axis - 1, axis) \
+                if la.ndim > 2 else la.T
+            ra = np.swapaxes(ra, axis - 1, axis) \
+                if ra.ndim > 2 else ra.T
+        return np.concatenate([la, ra], axis=axis)
+
+    def _fn():
+        s2 = _cat("s2", 2)
+        s1 = _cat("s1", 2)
+        slope = _cat("slope", 1)
+        s2m = _cat("s2_median", 1)
+        s1m = _cat("s1_median", 1)
+        cc = _cat("clear_count", 1)
+
+        s2 = np.asarray(align_border_histograms(s2))
+        hw = s2.shape[1]
+        w = s2.shape[2]
+        # predictor geometry on the strip: out windows tile the strip.
+        # U-Net skip crops need (out + 14) % 4 == 0, i.e. out % 4 == 2.
+        out = min(strip_width, w // 2)
+        out -= (out - 2) % 4
+        n_rows = max(2, int(np.ceil((w - out) / out)) + 1)
+        cfg = InferenceConfig(tile_px=w, out_size=out, n_rows=n_rows)
+        # strip height may differ from width; pad H to W for the
+        # square predictor then crop back
+        model_ = model or TreeCoverNet()
+        predictor = TilePredictor(params, cfg, model_)
+        if hw != w:
+            def padh(a, target, axis):
+                pad = [(0, 0)] * a.ndim
+                pad[axis] = (0, max(0, target - a.shape[axis]))
+                return np.pad(a, pad, mode="reflect")[
+                    tuple(slice(None) if i != axis else slice(0, target)
+                          for i in range(a.ndim))]
+            s2 = padh(s2, w, 1)
+            s1 = padh(s1, w, 1)
+            slope = padh(slope, w, 0)
+            s2m = padh(s2m, w, 0)
+            s1m = padh(s1m, w, 0)
+            cc = padh(cc, w, 0)
+        raster = np.asarray(predictor(s2, s1, slope, s2m, s1m, cc))
+        raster = raster[:hw].astype(np.float32)
+        out_strip = np.where(raster == 255, np.nan, raster / 100.0)
+        out_strip = np.where(np.isnan(out_strip), 0.5, out_strip)
+        return out_strip
+
+    return _fn
