@@ -73,7 +73,7 @@ def build_model_params(model_path: str | None, rng_seed: int = 0):
 def run_tile(x: int, y: int, year: int, backend, store: TileStore,
              predictor, bbox=None, timer: StageTimer | None = None,
              ul_flag: bool = False, sr_params=None,
-             gen_feats: bool = False):
+             gen_feats: bool = False, save_reseg: bool = False):
     """Full per-tile flow: fetch -> ARD -> smooth -> predict -> write."""
     timer = timer or StageTimer()
     store.make_tile_folders(x, y)
@@ -97,6 +97,11 @@ def run_tile(x: int, y: int, year: int, backend, store: TileStore,
     ard_dir = os.path.join(store.tile_dir(x, y))
     save_array(os.path.join(ard_dir, "ard_ndmi.h5"), nd)
     np.save(os.path.join(ard_dir, "ard_dates.npy"), tile.dates)
+
+    if save_reseg:
+        from ttc.infer.reseg import save_border_strips
+
+        save_border_strips(store, x, y, sm)
 
     with timer.stage("predict"):
         raster = np.asarray(predictor(
@@ -198,6 +203,9 @@ def main(argv=None):
     parser.add_argument("--s3_bucket", default=None)
     parser.add_argument("--ul_flag", action="store_true")
     parser.add_argument("--gen_feats", action="store_true")
+    parser.add_argument("--save_reseg", action="store_true",
+                        help="persist smoothed border strips for "
+                             "re-download-free seam repair")
     parser.add_argument("--redownload", action="store_true")
     parser.add_argument("--reprocess", action="store_true")
     parser.add_argument("--start", type=int, default=0)
@@ -248,7 +256,8 @@ def main(argv=None):
         try:
             run_tile(x, y, args.year, backend, store, predictor,
                      timer=timer, ul_flag=args.ul_flag,
-                     gen_feats=args.gen_feats)
+                     gen_feats=args.gen_feats,
+                     save_reseg=args.save_reseg)
             log.info("tile %s/%s complete", x, y)
         except KeyboardInterrupt:
             raise
