@@ -58,3 +58,18 @@ def test_fused_sequence_matches_zoneout_gru(cell_setup):
                   - np.asarray(ref_final)).mean() < 0.01
     assert np.abs(np.asarray(got_out)
                   - np.asarray(ref_out)).mean() < 0.01
+
+
+def test_fused_im2col_matches_cell(cell_setup):
+    from ttc.ops.pallas_gru import fused_convgru_step_im2col
+
+    cell, params, x, h = cell_setup
+    ref = np.asarray(cell.apply(params, x, h))
+    fused_p = params_from_cell(params["params"])
+    xh = jnp.concatenate([x, h], axis=-1).astype(jnp.bfloat16)
+    xh_pad = jnp.pad(xh, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     mode="reflect")
+    got = np.asarray(fused_convgru_step_im2col(xh_pad, fused_p,
+                                               interpret=True),
+                     dtype=np.float32)
+    assert np.abs(got - ref).max() < 0.03

@@ -4,7 +4,7 @@ import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from ttc.models.convgru import ConvGRUCell
-from ttc.ops.pallas_gru import fused_convgru_step, params_from_cell
+from ttc.ops.pallas_gru import fused_convgru_step, fused_convgru_step_im2col, params_from_cell
 
 f, cx, hw, b = 32, 17, 172, 36
 cell = ConvGRUCell(filters=f)
@@ -33,3 +33,10 @@ print("pallas cell:", timeit(lambda a: fused_convgru_step(a, fp), xh_pad)*1000, 
 ref = np.asarray(f_ref(params, x, h))
 got = np.asarray(out, dtype=np.float32)
 print("maxdiff:", np.abs(ref-got).max(), "meandiff:", np.abs(ref-got).mean())
+
+t0=time.time()
+out2 = fused_convgru_step_im2col(xh_pad, fp)
+float(jnp.sum(out2.astype(jnp.float32))); print("im2col compile:", time.time()-t0, flush=True)
+print("pallas im2col cell:", timeit(lambda a: fused_convgru_step_im2col(a, fp), xh_pad)*1000, "ms")
+got2 = np.asarray(out2, dtype=np.float32)
+print("im2col maxdiff:", np.abs(ref-got2).max())

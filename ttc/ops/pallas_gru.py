@@ -270,3 +270,117 @@ def fused_zoneout_gru(x_seq, h0, params: FusedGRUParams,
         outs.append(h_new)
         carry = carry * zoneout + h_new * (1.0 - zoneout)
     return jnp.stack(outs, axis=1), carry
+
+
+# ------------------------------------------------------------------
+# im2col variant: materialize the 9 shifted taps as one (H*W, 9*Cin)
+# VMEM buffer and run ONE MXU matmul per conv instead of 9 tap dots —
+# trades VMEM capacity (~30 MB scratch) for fewer relayouts.
+
+def _im2col(xh, scratch_ref, h, w, cin):
+    """xh: (H+2, W+2, Cin) value; fills scratch (H*W, 9*Cin)."""
+    for k in range(9):
+        dy, dx = k // 3, k % 3
+        tap = xh[dy:dy + h, dx:dx + w, :].reshape(h * w, cin)
+        scratch_ref[:, k * cin:(k + 1) * cin] = tap
+
+
+def _gates_im2col_body(xh_ref, wg_ref, gr_g_ref, gr_b_ref, gu_g_ref,
+                       gu_b_ref, ru_ref, col_ref, *, h, w, f, cin):
+    _im2col(xh_ref[0], col_ref, h, w, cin)
+    y = jax.lax.dot_general(
+        col_ref[:], wg_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (H*W, 2F) fp32
+    y = y.reshape(h, w, 2 * f).astype(jnp.bfloat16)
+    r = _gn_scale_bias(y[..., :f], gr_g_ref[:], gr_b_ref[:], 8)
+    u = _gn_scale_bias(y[..., f:], gu_g_ref[:], gu_b_ref[:], 8)
+    ru_ref[0, :, :, :f] = jax.nn.sigmoid(
+        r.astype(jnp.float32)).astype(ru_ref.dtype)
+    ru_ref[0, :, :, f:] = jax.nn.sigmoid(
+        u.astype(jnp.float32)).astype(ru_ref.dtype)
+
+
+def _cand_im2col_body(xh_ref, ru_ref, wc_ref, ws_ref, gc_g_ref,
+                      gc_b_ref, out_ref, pad_ref, col_ref, *, h, w, f,
+                      cx):
+    cin = cx + f
+    pad_ref[:, :, :cx] = xh_ref[0, :, :, :cx]
+    r = ru_ref[0, :, :, :f].astype(jnp.float32)
+    hh = xh_ref[0, 1:1 + h, 1:1 + w, cx:].astype(jnp.float32)
+    pad_ref[1:1 + h, 1:1 + w, cx:] = (r * hh).astype(pad_ref.dtype)
+    pad_ref[0, 1:1 + w, cx:] = pad_ref[2, 1:1 + w, cx:]
+    pad_ref[h + 1, 1:1 + w, cx:] = pad_ref[h - 1, 1:1 + w, cx:]
+    pad_ref[:, 0, cx:] = pad_ref[:, 2, cx:]
+    pad_ref[:, w + 1, cx:] = pad_ref[:, w - 1, cx:]
+
+    _im2col(pad_ref[:], col_ref, h, w, cin)
+    y = jax.lax.dot_general(
+        col_ref[:], wc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y.reshape(h, w, f).astype(jnp.bfloat16)
+    gate = jax.nn.sigmoid(jax.lax.dot_general(
+        y, ws_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    y = (y.astype(jnp.float32) * gate).astype(jnp.bfloat16)
+    y = _gn_scale_bias(y, gc_g_ref[:], gc_b_ref[:], 8)
+    c = jnp.tanh(y.astype(jnp.float32))
+    u = ru_ref[0, :, :, f:].astype(jnp.float32)
+    h_new = u * hh + (1.0 - u) * c
+    out_ref[0] = h_new.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_convgru_step_im2col(xh_pad, params: FusedGRUParams,
+                              interpret: bool = False):
+    b, hp, wp, cin = xh_pad.shape
+    h, w = hp - 2, wp - 2
+    f = params.cand_kernel.shape[-1]
+    cx = cin - f
+    dtype = xh_pad.dtype
+
+    sample = lambda i: (i, 0, 0, 0)
+    spec_xh = pl.BlockSpec((1, hp, wp, cin), sample,
+                           memory_space=pltpu.VMEM)
+    spec_hw_f = pl.BlockSpec((1, h, w, f), sample,
+                             memory_space=pltpu.VMEM)
+    spec_hw_2f = pl.BlockSpec((1, h, w, 2 * f), sample,
+                              memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
+
+    wg = params.gates_kernel.reshape(9 * cin, 2 * f).astype(dtype)
+    wc = params.cand_kernel.reshape(9 * cin, f).astype(dtype)
+
+    ru = pl.pallas_call(
+        functools.partial(_gates_im2col_body, h=h, w=w, f=f, cin=cin),
+        grid=(b,),
+        in_specs=[spec_xh, full((9 * cin, 2 * f)), full((f,)),
+                  full((f,)), full((f,)), full((f,))],
+        out_specs=spec_hw_2f,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 2 * f), dtype),
+        scratch_shapes=[pltpu.VMEM((h * w, 9 * cin), dtype)],
+        compiler_params=cp,
+        interpret=interpret,
+    )(xh_pad, wg, params.gn_r_gamma.astype(jnp.float32),
+      params.gn_r_beta.astype(jnp.float32),
+      params.gn_u_gamma.astype(jnp.float32),
+      params.gn_u_beta.astype(jnp.float32))
+
+    h_new = pl.pallas_call(
+        functools.partial(_cand_im2col_body, h=h, w=w, f=f, cx=cx),
+        grid=(b,),
+        in_specs=[spec_xh, spec_hw_2f, full((9 * cin, f)),
+                  full((f, 1)), full((f,)), full((f,))],
+        out_specs=spec_hw_f,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, f), dtype),
+        scratch_shapes=[pltpu.VMEM((hp, wp, cin), dtype),
+                        pltpu.VMEM((h * w, 9 * cin), dtype)],
+        compiler_params=cp,
+        interpret=interpret,
+    )(xh_pad, ru, wc, params.sse_kernel.astype(dtype),
+      params.gn_c_gamma.astype(jnp.float32),
+      params.gn_c_beta.astype(jnp.float32))
+    return h_new
