@@ -126,8 +126,33 @@ def _window(t: int, total: int, before: int, after: int,
 
 # ---------------------------------------------------------- shadow pass
 
+def _shadow_window_bounds(t_total: int):
+    """Host-side per-date [lower, upper) neighbor windows
+    (reference :1265-1272)."""
+    lowers, uppers = [], []
+    for t in range(t_total):
+        lower = max(0, t - 4)
+        upper = min(t_total, t + 3)
+        if (upper - lower) == 3:
+            if upper == t_total:
+                lower = max(lower - 1, 0)
+            if lower == 0:
+                upper = min(upper + 1, t_total)
+        lowers.append(lower)
+        uppers.append(upper)
+    return np.array(lowers, np.int32), np.array(uppers, np.int32)
+
+
+_SH_WIN = 7  # max shadow window extent (t-4 .. t+3)
+
+
 def _shadow_pass(img, clm, water_mask, dem):
-    """Per-date shadow candidates (reference :1265-1337)."""
+    """Per-date shadow candidates (reference :1265-1337).
+
+    The per-date neighbor windows run as ONE lax.scan over fixed-size
+    dynamic slices (entries outside [lower, upper) masked bad), so the
+    compiled graph is T-independent instead of T-unrolled.
+    """
     t_total = img.shape[0]
     ref_bands = img[..., jnp.array([0, 1, 7, 8])]
     min_ref = jnp.min(ref_bands, axis=0)
@@ -138,26 +163,28 @@ def _shadow_pass(img, clm, water_mask, dem):
     med_plain = jnp.median(ref_bands, axis=0)
     ri_global = jnp.where(empty_all, med_plain, med_all)
 
-    shadows = []
-    for t in range(t_total):
-        lower = max(0, t - 4)
-        upper = min(t_total, t + 3)
-        if (upper - lower) == 3:
-            if upper == t_total:
-                lower = max(lower - 1, 0)
-            if lower == 0:
-                upper = min(upper + 1, t_total)
-        sl = slice(lower, upper)
+    lowers, uppers = _shadow_window_bounds(t_total)
+    ref_pad = jnp.pad(ref_bands,
+                      ((0, _SH_WIN), (0, 0), (0, 0), (0, 0)))
+    clm_pad = jnp.pad(clm, ((0, _SH_WIN), (0, 0), (0, 0)),
+                      constant_values=1.0)
+    rel = jnp.arange(_SH_WIN)
 
-        bad = (clm[sl] > 0)[..., None]
-        ri_med, empty = masked_median_t(ref_bands[sl], bad)
+    def body(_, x):
+        lower, upper, img_t = x
+        win = jax.lax.dynamic_slice_in_dim(ref_pad, lower, _SH_WIN, 0)
+        clm_w = jax.lax.dynamic_slice_in_dim(clm_pad, lower, _SH_WIN, 0)
+        valid = (lower + rel) < upper
+        bad = ((clm_w > 0)
+               | ~valid[:, None, None])[..., None]
+        ri_med, empty = masked_median_t(win, bad)
         ri_med = jnp.where(empty, min_ref, ri_med)
-        ri_max, empty_mx = masked_max_t(ref_bands[sl], bad)
+        ri_max, empty_mx = masked_max_t(win, bad)
         ri_max = jnp.where(empty_mx, min_ref, ri_max)
 
-        b8a_t = img[t, ..., 7]
-        b11_t = img[t, ..., 8]
-        blue_t = img[t, ..., 0]
+        b8a_t = img_t[..., 7]
+        b11_t = img_t[..., 8]
+        blue_t = img_t[..., 0]
 
         shadows_i = ((b8a_t - ri_med[..., 2] < -0.04)
                      & (b11_t - ri_med[..., 3] < -0.04)
@@ -177,20 +204,21 @@ def _shadow_pass(img, clm, water_mask, dem):
                         & (b11_t - ri_max[..., 3] < -0.04)
                         & (blue_t < 0.07)
                         & (b8a_t < 0.18)
-                        & (jnp.sum(img[t, ..., :3], axis=-1) < 0.28)
+                        & (jnp.sum(img_t[..., :3], axis=-1) < 0.28)
                         ).astype(jnp.float32)
         slope_shadow = jnp.where(water_mask > 0, 0.0, slope_shadow)
         slope_shadow = slope_shadow * (dem >= 25)
         shadows_i = jnp.maximum(shadows_i, slope_shadow)
 
         water_shadow = ((blue_t - ri_global[..., 0] < -0.05)
-                        & (img[t, ..., 1] - ri_global[..., 1] < -0.05)
+                        & (img_t[..., 1] - ri_global[..., 1] < -0.05)
                         & (b8a_t < 0.03)
-                        & (ri_global[..., 1] - img[t, ..., 1] > 0.02)
+                        & (ri_global[..., 1] - img_t[..., 1] > 0.02)
                         & (water_mask > 0)).astype(jnp.float32)
-        shadows.append(shadows_i + water_shadow)
+        return None, shadows_i + water_shadow
 
-    shadows = jnp.stack(shadows)
+    _, shadows = jax.lax.scan(
+        body, None, (jnp.asarray(lowers), jnp.asarray(uppers), img))
 
     # morphology: open (erode 2, dilate 3), then merge shadows within
     # 5 px of each other via the capped distance transform (:1329-1337)
@@ -201,15 +229,16 @@ def _shadow_pass(img, clm, water_mask, dem):
 
 # ----------------------------------------------------------- cloud pass
 
-def _cloud_pass(img, shadows, forest_mask):
-    """Multi-temporal cloud candidates vs darkest-pixel composites with
-    bounded threshold relaxation (reference :1342-1447)."""
-    t_total = img.shape[0]
-    rgb = img[..., :3]
-    pct25 = jnp.percentile(rgb, 25, axis=0)
-    min_rgb = jnp.min(rgb, axis=0)
-
-    clouds = []
+def _cloud_window_bounds(t_total: int):
+    """Host-side per-date windows for the cloud pass: 'others' slice
+    bounds, 'close' index triples (+validity), and the 10-step widening
+    bounds (reference :1343-1391)."""
+    lo_o = np.zeros(t_total, np.int32)
+    up_o = np.zeros(t_total, np.int32)
+    close_idx = np.zeros((t_total, 3), np.int32)
+    close_valid = np.zeros((t_total, 3), bool)
+    wlo = np.zeros((t_total, 10), np.int32)
+    wup = np.zeros((t_total, 10), np.int32)
     for t in range(t_total):
         lower = max(0, t - 2)
         upper = min(t_total, t + 3)
@@ -218,7 +247,8 @@ def _cloud_pass(img, shadows, forest_mask):
                 lower = max(lower - 2, 0)
             if lower == 0:
                 upper = min(upper + 2, t_total)
-        others = list(range(lower, upper))
+        lo_o[t], up_o[t] = lower, upper
+
         close = [max(0, t - 1), min(t_total - 1, t + 1)]
         if close[1] - close[0] < 2:
             if close[0] == 0:
@@ -227,25 +257,72 @@ def _cloud_pass(img, shadows, forest_mask):
                 close = [c - 1 for c in close]
         if close[-1] >= (t_total - 2) and t_total > 3:
             close = [close[0] - 1] + close
+        for j, c in enumerate(close):
+            close_idx[t, j] = np.clip(c, 0, t_total - 1)
+            close_valid[t, j] = 0 <= c < t_total
+
+        min_i, max_i = close[0], close[-1]
+        for k in range(10):
+            min_i = max(min_i - 1, 0)
+            max_i = min(max_i + 1, t_total)
+            wlo[t, k], wup[t, k] = min_i, max_i
+    return lo_o, up_o, close_idx, close_valid, wlo, wup
+
+
+_CL_WIN = 5    # max 'others' window extent
+_W_WIN = 25    # max widened-window extent (close span + 2*10)
+
+
+def _cloud_pass(img, shadows, forest_mask):
+    """Multi-temporal cloud candidates vs darkest-pixel composites with
+    bounded threshold relaxation (reference :1342-1447). One lax.scan
+    over dates; neighbor windows are fixed-size dynamic slices with
+    validity masks, so compile time is T-independent."""
+    t_total = img.shape[0]
+    rgb = img[..., :3]
+    pct25 = jnp.percentile(rgb, 25, axis=0)
+    min_rgb = jnp.min(rgb, axis=0)
+
+    lo_o, up_o, close_idx, close_valid, wlo, wup = \
+        _cloud_window_bounds(t_total)
+
+    bad_full = (shadows > 0)[..., None]
+    rgb_pad = jnp.pad(rgb, ((0, _W_WIN), (0, 0), (0, 0), (0, 0)))
+    bad_pad = jnp.pad(bad_full, ((0, _W_WIN), (0, 0), (0, 0), (0, 0)),
+                      constant_values=True)
+    rel_o = jnp.arange(_CL_WIN)
+    rel_w = jnp.arange(_W_WIN)
+
+    def body(_, x):
+        (t, lo, up, cidx, cval, wlo_t, wup_t, rgb_t) = x
 
         if t_total > 2:
-            bad = (shadows > 0)[..., None]
+            win_o = jax.lax.dynamic_slice_in_dim(rgb_pad, lo, _CL_WIN, 0)
+            bad_o = jax.lax.dynamic_slice_in_dim(bad_pad, lo, _CL_WIN, 0)
+            valid_o = (lo + rel_o) < up
             ri_upper, empty_u = masked_min_t(
-                rgb[jnp.array(others)],
-                bad[jnp.array(others)])
+                win_o, bad_o | ~valid_o[:, None, None, None])
             ri_upper = jnp.where(empty_u, pct25, ri_upper)
 
-            ri_close, empty_c = masked_min_t(
-                rgb[jnp.array(close)], bad[jnp.array(close)])
+            rgb_c = jnp.take(rgb, cidx, axis=0)
+            bad_c = jnp.take(bad_full, cidx, axis=0) \
+                | ~cval[:, None, None, None]
+            ri_close, empty_c = masked_min_t(rgb_c, bad_c)
+
             # widen the window until filled (reference 10-iteration
-            # expansion :1385-1391), statically unrolled
-            min_i, max_i = close[0], close[-1]
-            for _ in range(10):
-                min_i = max(min_i - 1, 0)
-                max_i = min(max_i + 1, t_total)
-                wider = [x for x in range(min_i, max_i) if x != t]
+            # expansion :1385-1391); one fixed-size slice covers the
+            # widest window, per-step masks select the k-th extent
+            start = wlo_t[9]
+            win_w = jax.lax.dynamic_slice_in_dim(rgb_pad, start,
+                                                 _W_WIN, 0)
+            bad_w = jax.lax.dynamic_slice_in_dim(bad_pad, start,
+                                                 _W_WIN, 0)
+            offs = start + rel_w
+            for k in range(10):
+                vmask = ((offs >= wlo_t[k]) & (offs < wup_t[k])
+                         & (offs != t))
                 ri_new, empty_new = masked_min_t(
-                    rgb[jnp.array(wider)], bad[jnp.array(wider)])
+                    win_w, bad_w | ~vmask[:, None, None, None])
                 ri_close = jnp.where(empty_c & ~empty_new, ri_new,
                                      ri_close)
                 empty_c = empty_c & empty_new
@@ -260,7 +337,6 @@ def _cloud_pass(img, shadows, forest_mask):
                                  close_thresh)
         close_thresh = jnp.maximum(close_thresh, 0.04)
 
-        rgb_t = rgb[t]
         d_upper = rgb_t - ri_upper
         d_close = rgb_t - ri_close
         clouds_i = ((d_upper[..., 0] > 0.08)
@@ -274,15 +350,16 @@ def _cloud_pass(img, shadows, forest_mask):
             modifier, close_mean = state
             return (close_mean - cl_mean) > 0.075
 
-        def body(state):
+        def wbody(state):
             modifier, _ = state
             cc = ((d_close[..., 0] > close_thresh + modifier + 0.01)
                   & (d_close[..., 1] > close_thresh + modifier + 0.01)
                   & (d_close[..., 2] > close_thresh + modifier))
             return modifier + 0.0025, jnp.mean(cc)
 
-        modifier, _ = jax.lax.while_loop(cond, body, (jnp.float32(0.0),
-                                                      jnp.float32(1.0)))
+        modifier, _ = jax.lax.while_loop(cond, wbody,
+                                         (jnp.float32(0.0),
+                                          jnp.float32(1.0)))
         modifier = modifier - 0.0025  # final accepted modifier
         clouds_close = ((d_close[..., 0] > close_thresh + modifier + 0.01)
                         & (d_close[..., 1] > close_thresh + modifier + 0.01)
@@ -293,8 +370,15 @@ def _cloud_pass(img, shadows, forest_mask):
         clouds_close = clouds_close * brightness
         eroded = erode(clouds_close, 2)
         clouds_close = jnp.where(forest_mask == 0, eroded, clouds_close)
-        clouds.append(jnp.maximum(clouds_i, clouds_close))
-    return jnp.stack(clouds)
+        return None, jnp.maximum(clouds_i, clouds_close)
+
+    _, clouds = jax.lax.scan(
+        body, None,
+        (jnp.arange(t_total, dtype=jnp.int32), jnp.asarray(lo_o),
+         jnp.asarray(up_o), jnp.asarray(close_idx),
+         jnp.asarray(close_valid), jnp.asarray(wlo), jnp.asarray(wup),
+         rgb))
+    return clouds
 
 
 # -------------------------------------------------------------- parallax
@@ -397,21 +481,21 @@ def identify_clouds_shadows(img, dem, forest_mask=None, urban_mask=None,
 
     # brightness z-score clouds with recurrence veto (:1458-1481)
     brightness = jnp.sum(img[..., :3], axis=-1)
-    bclouds = []
-    for t in range(t_total):
-        keep = (clouds[t] == 0) & (shadows[t] == 0)
-        flat = brightness[t].ravel()
+
+    def _bcloud_one(clouds_t, shadows_t, brightness_t):
+        keep = (clouds_t == 0) & (shadows_t == 0)
+        flat = brightness_t.ravel()
         kflat = keep.ravel()
         srt = jnp.sort(jnp.where(kflat, flat, jnp.inf))
         n = jnp.maximum(jnp.sum(kflat.astype(jnp.int32)), 1)
         med = 0.5 * (srt[(n - 1) // 2] + srt[n // 2])
-        ratio = brightness[t] / jnp.maximum(med, EPS)
+        ratio = brightness_t / jnp.maximum(med, EPS)
         ratio = jnp.where(water_mask > 0, 1.0, ratio)
-        mean_r, std_r = masked_mean_std(ratio, clouds[t] == 0)
+        mean_r, std_r = masked_mean_std(ratio, clouds_t == 0)
         z = (ratio - mean_r) / jnp.maximum(std_r, EPS)
-        bc = (z > 3.5).astype(jnp.float32) * (water_mask < 0)
-        bclouds.append(bc)
-    bclouds = jnp.stack(bclouds)
+        return (z > 3.5).astype(jnp.float32) * (water_mask < 0)
+
+    bclouds = jax.vmap(_bcloud_one)(clouds, shadows, brightness)
     recurrence = jnp.sum((bclouds - clouds) > 0, axis=0)
     bclouds = jnp.where(recurrence[None] > 1, 0.0, bclouds)
     clouds = jnp.maximum(clouds, bclouds)
@@ -424,27 +508,38 @@ def identify_clouds_shadows(img, dem, forest_mask=None, urban_mask=None,
                                                            EPS) > 0.5)
     clouds = clouds * (1.0 - is_fp.astype(jnp.float32))
 
-    # parallax urban false positives (:1498-1511)
+    # parallax urban false positives (:1498-1511) and NIR/SWIR
+    # bright-surface filter (:1516-1527): both gate on the same
+    # +-1-date darkest composite — one scan over dates
     fcps, pfcps = detect_pfcp(img, dem,
                               urban_mask if use_urban else None)
-    for t in range(t_total):
-        lo, hi = max(t - 1, 0), min(t + 2, t_total)
-        darkest = jnp.min(img[lo:hi, ..., :3], axis=(0, 3))
-        isnt_cloud = (mean_bright[t] - darkest) < 0.4
-        rm = (fcps[t] > 0) & isnt_cloud
-        clouds = clouds.at[t].set(jnp.where(rm, 0.0, clouds[t]))
-        shadows = shadows.at[t].set(jnp.where(rm, 0.0, shadows[t]))
-
-    # NIR/SWIR bright-surface filter (:1516-1527)
     nir_swir = dilate((img[..., 3] / (img[..., 8] + 0.01) < 0.75)
                       .astype(jnp.float32), 3)
-    for t in range(t_total):
-        lo, hi = max(t - 1, 0), min(t + 2, t_total)
-        darkest = jnp.min(img[lo:hi, ..., :3], axis=(0, 3))
-        isnt_cloud = (mean_bright[t] - darkest) < 0.4
-        ns_t = jnp.where(water_mask < 0, 0.0, nir_swir[t])
-        clouds = clouds.at[t].set(
-            jnp.where((ns_t > 0) & isnt_cloud, 0.0, clouds[t]))
+    chan_min = jnp.min(img[..., :3], axis=3)            # (T, H, W)
+    chan_min_pad = jnp.pad(chan_min, ((0, 3), (0, 0), (0, 0)),
+                           constant_values=jnp.inf)
+    lo2 = jnp.asarray(np.maximum(np.arange(t_total) - 1, 0), jnp.int32)
+    hi2 = jnp.asarray(np.minimum(np.arange(t_total) + 2, t_total),
+                      jnp.int32)
+    rel3 = jnp.arange(3)
+
+    def _fp_body(_, x):
+        lo, hi, clouds_t, shadows_t, fcps_t, ns_raw, mb_t = x
+        win = jax.lax.dynamic_slice_in_dim(chan_min_pad, lo, 3, 0)
+        valid = (lo + rel3) < hi
+        darkest = jnp.min(
+            jnp.where(valid[:, None, None], win, jnp.inf), axis=0)
+        isnt_cloud = (mb_t - darkest) < 0.4
+        rm = (fcps_t > 0) & isnt_cloud
+        c = jnp.where(rm, 0.0, clouds_t)
+        s = jnp.where(rm, 0.0, shadows_t)
+        ns_t = jnp.where(water_mask < 0, 0.0, ns_raw)
+        c = jnp.where((ns_t > 0) & isnt_cloud, 0.0, c)
+        return None, (c, s)
+
+    _, (clouds, shadows) = jax.lax.scan(
+        _fp_body, None,
+        (lo2, hi2, clouds, shadows, fcps, nir_swir, mean_bright))
 
     # water NIR false positives (:1534-1539)
     water_fp = dilate(((water_mask > 0)
@@ -460,22 +555,18 @@ def identify_clouds_shadows(img, dem, forest_mask=None, urban_mask=None,
         * (1.0 - forest_mask)
     clouds = jnp.where(dark > 0, 0.0, clouds)
 
-    # urban vs non-urban size-dependent dilation (:1589-1612)
-    new_clouds = []
+    # urban vs non-urban size-dependent dilation (:1589-1612) — every
+    # op is per-pixel/morphological, so it runs on the full stack
     pfcps_d = dilate(pfcps, 5)
-    for t in range(t_total):
-        c = erode(clouds[t], 1)
-        urban = c * pfcps_d[t]
-        urban = erode(urban, 3)
-        non_urban = c * (1.0 - pfcps_d[t])
-        ws = winsum(non_urban, 3)
-        large = jnp.where(ws < 6, 0.0, non_urban)
-        small = jnp.where(ws >= 6, 0.0, non_urban)
-        merged = jnp.maximum(dilate(large, 5), dilate(small, 1))
-        dist = capped_edt(merged > 0, 4.0)
-        non_urban = (dist <= 3.0).astype(jnp.float32)
-        new_clouds.append(non_urban + urban)
-    clouds = jnp.stack(new_clouds)
+    c = erode(clouds, 1)
+    urban = erode(c * pfcps_d, 3)
+    non_urban = c * (1.0 - pfcps_d)
+    ws = winsum(non_urban, 3)
+    large = jnp.where(ws < 6, 0.0, non_urban)
+    small = jnp.where(ws >= 6, 0.0, non_urban)
+    merged = jnp.maximum(dilate(large, 5), dilate(small, 1))
+    dist = capped_edt(merged > 0, 4.0)
+    clouds = (dist <= 3.0).astype(jnp.float32) + urban
 
     # shadow-plausibility pruning (:1617-1626)
     cloud_frac = jnp.mean(clouds, axis=(1, 2))
@@ -491,35 +582,32 @@ def identify_clouds_shadows(img, dem, forest_mask=None, urban_mask=None,
     clouds = jnp.maximum(clouds, shadows)
     fcps = dilate(jnp.maximum(fcps, nir_swir), 2)
 
-    # false-negative shadow recovery via 1/blue z-score (:1638-1648)
-    for t in range(t_total):
-        inv_blue = 1.0 / jnp.maximum(img[t, ..., 0], EPS)
-        mean_i, std_i = masked_mean_std(inv_blue, clouds[t] == 0)
-        ref = mean_i + 2.0 * std_i
-        sh = ((inv_blue > ref) & (img[t, ..., 7] < 0.17)) \
-            .astype(jnp.float32)
-        sh = dilate(1.0 - dilate(1.0 - sh, 2), 2)
-        sh = jnp.where(water_mask > 0, 0.0, sh)
-        recovered = jnp.where(jnp.mean(clouds[t]) < 0.9,
-                              jnp.maximum(clouds[t], sh), clouds[t])
-        clouds = clouds.at[t].set(recovered)
+    # false-negative shadow recovery via 1/blue z-score (:1638-1648),
+    # vectorized over dates (per-date scalar stats via axis reductions)
+    inv_blue = 1.0 / jnp.maximum(img[..., 0], EPS)       # (T, H, W)
+    keep_k = (clouds == 0).astype(jnp.float32)
+    n_k = jnp.maximum(jnp.sum(keep_k, axis=(1, 2)), 1.0)
+    mean_i = jnp.sum(inv_blue * keep_k, axis=(1, 2)) / n_k
+    var_i = jnp.sum((inv_blue - mean_i[:, None, None]) ** 2 * keep_k,
+                    axis=(1, 2)) / n_k
+    ref_i = (mean_i + 2.0 * jnp.sqrt(var_i))[:, None, None]
+    sh = ((inv_blue > ref_i) & (img[..., 7] < 0.17)).astype(jnp.float32)
+    sh = dilate(1.0 - dilate(1.0 - sh, 2), 2)
+    sh = jnp.where(water_mask > 0, 0.0, sh)
+    cloudy_frac = jnp.mean(clouds, axis=(1, 2))[:, None, None]
+    clouds = jnp.where(cloudy_frac < 0.9,
+                       jnp.maximum(clouds, sh), clouds)
     clouds = jnp.clip(clouds, 0.0, 1.0)
 
     # haze flag: bright + flat + non-white images become all-cloud
     # (:1652-1676)
-    mean_cf_b = []
-    std_cf_b = []
-    std_cf_w = []
-    for t in range(t_total):
-        keep = clouds[t] == 0
-        m, s = masked_mean_std(mean_bright[t], keep)
-        mean_cf_b.append(m)
-        std_cf_b.append(s)
-        _, sw = masked_mean_std(vis_range[t], keep)
-        std_cf_w.append(sw)
-    mean_cf_b = jnp.stack(mean_cf_b)
-    std_cf_b = jnp.stack(std_cf_b)
-    std_cf_w = jnp.stack(std_cf_w)
+    def _haze_stats(mb_t, vr_t, clouds_t):
+        m, s = masked_mean_std(mb_t, clouds_t == 0)
+        _, sw = masked_mean_std(vr_t, clouds_t == 0)
+        return m, s, sw
+
+    mean_cf_b, std_cf_b, std_cf_w = jax.vmap(_haze_stats)(
+        mean_bright, vis_range, clouds)
     # exclude fully-cloudy images from the medians like the reference's
     # list comprehension over mean(clouds) < 1
     cf_ok = jnp.mean(clouds, axis=(1, 2)) < 1.0
