@@ -258,6 +258,10 @@ def detect_change(kde5, kde10, kde25, kde2, dates, fs,
                                                         n_years - 1)])
     loss[-1] = loss_e * (n_years - 1)
 
+    # gain is predicated on a detected loss when the time series shows
+    # tree -> no-tree -> tree rotation (reference change_job.py:559-562)
+    gain = validate_gain(gain, loss.copy(), fs)
+
     gain = remove_unstable_gain(loss, gain, fs)
     gain[gain == 0] = 255
     gain = np.min(gain, axis=0)
@@ -331,7 +335,7 @@ def remove_unstable_loss(year, med, fs, nans, start_year: int = 2017):
     that sit near no-image areas (reference change_job.py:155-256).
 
     year: calendar year of the loss layer; med: combined change raster
-    where loss year k is encoded as (year - 1817); nans: per-year
+    where loss year k is encoded as (year - start_year + 200); nans: per-year
     no-image masks (N_years, H, W). Returns (unstable_loss, no_img)."""
     from scipy.ndimage import binary_dilation
 
@@ -340,7 +344,7 @@ def remove_unstable_loss(year, med, fs, nans, start_year: int = 2017):
     gain = np.logical_or((med >= 150) & (med <= 160),
                          (med >= 101) & (med <= 105))
     ttc_year = fs[yi]
-    loss_year = med == (year - 1817)
+    loss_year = med == (year - start_year + 200)
     end_year = start_year + n_years - 1
 
     def _dil(mask, it):
@@ -368,3 +372,45 @@ def remove_unstable_loss(year, med, fs, nans, start_year: int = 2017):
     prior_notree = np.logical_or(prior_notree, prior_gain)
     unstable = np.maximum(unstable, prior_notree)
     return unstable, no_img
+
+
+def build_change_raster(fs, gain, loss, nans,
+                        start_year: int = START_YEAR):
+    """Combined change raster: per-pixel median tree cover with gain
+    encoded as year+100, loss as year+200, rotation as 150/160, then
+    per-year unstable-loss and no-image suppression
+    (reference change_job.py:666-697).
+
+    fs:   (N_years, H, W) tree-cover stack (255 = nodata)
+    gain: (H, W) uint8 year-coded gain raster (0 = none)
+    loss: (H, W) uint8 year-coded loss raster
+    nans: (N_years, H, W) bool per-year no-image masks
+    """
+    from scipy.ndimage import binary_dilation
+
+    fs = fs.astype(np.float32).copy()
+    n_years = fs.shape[0]
+    base = np.median(fs, axis=0)
+    med = base.copy()
+    med[gain > 0] = gain[gain > 0] + 100.0
+    med[loss > 0] = loss[loss > 0] + 200.0
+    rotational = (gain > 0) & (loss > 0)
+    med[rotational & (gain > loss)] = 150.0
+    med[rotational & (loss > gain)] = 160.0
+    fs[np.broadcast_to((base > 100)[None], fs.shape)] = 255.0
+
+    for year in range(start_year, start_year + n_years):
+        unstable_loss, noimg = remove_unstable_loss(
+            year, med, fs, nans, start_year)
+        unstable_loss = unstable_loss.astype(bool).copy()
+        unstable_loss[gain > 0] = False
+        loss_flag = np.logical_or(unstable_loss, noimg)
+        loss_flag = loss_flag * (med == (year - start_year + 200))
+        med[loss_flag] = base[loss_flag]
+
+    n_valid_years = np.sum(~nans, axis=0)
+    lte2_data = binary_dilation(n_valid_years <= 2, iterations=50)
+    is_oob = (med > 110) & (med < 150)
+    med[is_oob] = base[is_oob]
+    med[lte2_data] = base[lte2_data]
+    return med

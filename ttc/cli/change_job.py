@@ -42,8 +42,9 @@ def find_ttc_tif(tile_dir: str):
 
 def load_year_stack(local_path: str, x: int, y: int, start_year: int,
                     end_year: int):
-    """(N_years, H, W) float tree-cover stack; missing years are
-    nan-filled then nearest-interpolated."""
+    """(N_years, H, W) float tree-cover stack + (N_years, H, W) bool
+    no-image masks; missing years are nan-filled then
+    nearest-interpolated."""
     layers = []
     for year in range(start_year, end_year + 1):
         tile_dir = os.path.join(local_path, str(year), str(x), str(y))
@@ -59,6 +60,9 @@ def load_year_stack(local_path: str, x: int, y: int, start_year: int,
     fs = np.stack([
         l if l is not None else np.full(shape, np.nan, np.float32)
         for l in layers])
+    # per-year no-image masks: missing tif or 255-nodata pixels
+    # (reference change_job.py:300-330 'nans')
+    nans = np.isnan(fs) | (fs == 255)
     # forward/backward fill missing years
     for i in range(1, len(fs)):
         mask = np.isnan(fs[i])
@@ -66,7 +70,24 @@ def load_year_stack(local_path: str, x: int, y: int, start_year: int,
     for i in range(len(fs) - 2, -1, -1):
         mask = np.isnan(fs[i])
         fs[i][mask] = fs[i + 1][mask]
-    return fs
+    return fs, nans
+
+
+def load_slope(local_path: str, x: int, y: int, start_year: int,
+               end_year: int, shape):
+    """Per-tile slope raster (degrees) persisted by predict_job with
+    the change artifacts (reference zips dem into {year}/change/
+    — io.py:153-201). Falls back to zeros when absent."""
+    for year in range(end_year, start_year - 1, -1):
+        p = os.path.join(local_path, str(year), str(x), str(y),
+                         "dem.npy")
+        if os.path.exists(p):
+            dem = np.load(p).astype(np.float32)
+            if dem.shape == tuple(shape):
+                return dem
+    log.warning("no persisted slope raster for %s/%s — slope strata "
+                "degenerate to flat", x, y)
+    return np.zeros(shape, np.float32)
 
 
 def load_ndmi_stacks(local_path: str, x: int, y: int, start_year: int,
@@ -95,7 +116,7 @@ def load_ndmi_stacks(local_path: str, x: int, y: int, start_year: int,
 
 def run_change(local_path: str, x: int, y: int, start_year: int,
                end_year: int, out_dir: str | None = None):
-    fs = load_year_stack(local_path, x, y, start_year, end_year)
+    fs, nans = load_year_stack(local_path, x, y, start_year, end_year)
     ndmi_stack, dates, n_per_year = load_ndmi_stacks(
         local_path, x, y, start_year, end_year)
 
@@ -143,7 +164,8 @@ def run_change(local_path: str, x: int, y: int, start_year: int,
         filter_gain_px,
     )
 
-    slope_deg = np.zeros_like(fs[0])  # per-tile slope raster if stored
+    slope_deg = load_slope(local_path, x, y, start_year, end_year,
+                           fs[0].shape)
     notree = np.min(fs, axis=0) < 30
     ma = pct
     cfs_flat = calc_reference_change(ma, 0, 10, notree, slope_deg)
@@ -157,6 +179,13 @@ def run_change(local_path: str, x: int, y: int, start_year: int,
     accepted = np.isin(labels, gainpx) | (additional > 0)
     gain = (gain * accepted).astype(np.uint8)
 
+    # combined change raster with unstable-loss / no-image suppression
+    # (reference change_job.py:666-697)
+    from ttc.change.pipeline import build_change_raster
+
+    med = build_change_raster(fs, gain, loss, nans,
+                              start_year=start_year)
+
     out_dir = out_dir or os.path.join(local_path, "change", str(x),
                                       str(y))
     os.makedirs(out_dir, exist_ok=True)
@@ -165,6 +194,8 @@ def run_change(local_path: str, x: int, y: int, start_year: int,
                   bbox, nodata=0)
     write_geotiff(os.path.join(out_dir, f"{x}X{y}Y_loss.tif"), loss,
                   bbox, nodata=0)
+    write_geotiff(os.path.join(out_dir, f"{x}X{y}Y_change.tif"),
+                  med.astype(np.uint8), bbox, nodata=255)
     return gain, loss
 
 

@@ -4,6 +4,9 @@ CLI mirror of the reference's download_and_predict_job.py
 (reference: src/download_and_predict_job.py:1653-2094): tile CSV
 database, config.yaml credentials, idempotent per-tile loop with
 exception backoff, raster + ARD artifact outputs, optional S3 upload.
+Super-resolution of the 20 m bands is on by default like the reference
+(:2001); tiles are georeferenced from the DB's X/Y point columns via
+make_bbox (:154-171, 1925).
 
 Usage:
     python -m ttc.cli.predict_job --country X --year 2023 \
@@ -20,6 +23,7 @@ import numpy as np
 
 from ttc.core.codecs import ndmi_to_int16
 from ttc.core.config import InferenceConfig
+from ttc.core.geo import make_bbox
 from ttc.io.acquisition import FixtureBackend, RawTile
 from ttc.io.arrays import save_array
 from ttc.io.geotiff import write_tree_cover_tif
@@ -29,6 +33,12 @@ from ttc.preprocess.ard import process_tile, smooth_tile
 from ttc.utils.profiling import StageTimer
 
 log = logging.getLogger("ttc.predict_job")
+
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "weights", "treecover.npz")
+DEFAULT_SR_WEIGHTS = os.path.join(
+    os.path.dirname(DEFAULT_WEIGHTS), "superres.npz")
 
 
 def load_tile_db(db_path: str, country: str | None = None):
@@ -42,6 +52,19 @@ def load_tile_db(db_path: str, country: str | None = None):
     return df.reset_index(drop=True)
 
 
+def tile_bbox(row) -> list | None:
+    """Expanded WGS84 bbox of a tile DB row: the X/Y point columns hold
+    the tile centroid lon/lat; expansion 300 px of 1/360 deg
+    (reference: download_and_predict_job.py:493-500, 1925)."""
+    try:
+        lon, lat = float(row["X"]), float(row["Y"])
+    except (KeyError, TypeError, ValueError):
+        return None
+    if np.isnan(lon) or np.isnan(lat):
+        return None
+    return make_bbox([lon, lat, lon, lat], expansion=300 / 30)
+
+
 def load_config_yaml(path: str) -> dict:
     """config.yaml with API keys / AWS credentials (reference:
     :1751-1766). Missing file -> empty config (offline mode)."""
@@ -53,34 +76,65 @@ def load_config_yaml(path: str) -> dict:
         return yaml.safe_load(f) or {}
 
 
-def build_model_params(model_path: str | None, rng_seed: int = 0):
-    """Load checkpointed params (orbax) or initialize fresh."""
+def build_model_params(model_path: str | None, rng_seed: int = 0,
+                       allow_random_init: bool = False):
+    """Load release weights (.npz) or an orbax checkpoint dir.
+
+    An explicit but missing --model_path is an error; with no path at
+    all, falls back to the bundled release weights, and only
+    initializes random parameters when `allow_random_init` — the
+    reference always restores a trained graph before predicting
+    (reference: download_and_predict_job.py:1784-1826)."""
     import jax
 
     from ttc.models.unet import TreeCoverNet
 
     model = TreeCoverNet()
-    if model_path and os.path.exists(model_path):
+    if model_path and not os.path.exists(model_path):
+        raise FileNotFoundError(f"--model_path {model_path!r} does not "
+                                "exist")
+    if not model_path and os.path.exists(DEFAULT_WEIGHTS):
+        model_path = DEFAULT_WEIGHTS
+    if model_path:
+        if model_path.endswith(".npz"):
+            from ttc.train.checkpoint import load_params_npz
+
+            return model, load_params_npz(model_path)
         from ttc.train.checkpoint import load_params
 
         return model, load_params(model_path)
+    if not allow_random_init:
+        raise FileNotFoundError(
+            "no trained weights: bundled release weights missing at "
+            f"{DEFAULT_WEIGHTS} — pass --model_path, or "
+            "--allow_random_init to emit untrained predictions")
+    log.warning("RANDOM-INIT MODE: predictions come from untrained "
+                "weights and are meaningless")
     params = jax.jit(model.init)(
         jax.random.PRNGKey(rng_seed),
         np.zeros((1, 5, 28, 28, 17), np.float32))
     return model, params
 
 
-def run_tile(x: int, y: int, year: int, backend, store: TileStore,
-             predictor, bbox=None, timer: StageTimer | None = None,
-             ul_flag: bool = False, sr_params=None,
-             gen_feats: bool = False, save_reseg: bool = False):
-    """Full per-tile flow: fetch -> ARD -> smooth -> predict -> write."""
+def load_sr_params(sr_path: str | None):
+    if sr_path is None:
+        sr_path = DEFAULT_SR_WEIGHTS if os.path.exists(
+            DEFAULT_SR_WEIGHTS) else None
+    if sr_path is None:
+        return None
+    from ttc.models.superres import params_from_npz
+
+    return params_from_npz(sr_path)
+
+
+def prepare_tile(x: int, y: int, year: int, backend, store: TileStore,
+                 bbox=None, sr_params=None,
+                 timer: StageTimer | None = None):
+    """Host+device ARD stage: fetch -> process -> (SR) -> smooth."""
     timer = timer or StageTimer()
     store.make_tile_folders(x, y)
-
     with timer.stage("download"):
         raw: RawTile = backend.fetch(x, y, bbox, year)
-
     with timer.stage("ard"):
         tile = process_tile(raw)
         if sr_params is not None:
@@ -91,12 +145,25 @@ def run_tile(x: int, y: int, year: int, backend, store: TileStore,
             tile.s2 = np.asarray(
                 superresolve_tile(sr_params, jnp.asarray(tile.s2)))
         sm = smooth_tile(tile)
+    return tile, sm
 
-    # change-detection artifacts (reference :1161-1164)
+
+def finish_tile(x: int, y: int, year: int, tile, sm, store: TileStore,
+                predictor, bbox=None, timer: StageTimer | None = None,
+                ul_flag: bool = False, gen_feats: bool = False,
+                save_reseg: bool = False):
+    """Device predict + artifact writes for a prepared tile."""
+    timer = timer or StageTimer()
+
+    # change-detection artifacts: NDMI stack, dates, slope raster
+    # (reference :1161-1164; slope zipped into {year}/change via
+    # io.py:153-201)
     nd = ndmi_to_int16(np.asarray(ndmi(tile.s2)))
     ard_dir = os.path.join(store.tile_dir(x, y))
     save_array(os.path.join(ard_dir, "ard_ndmi.h5"), nd)
     np.save(os.path.join(ard_dir, "ard_dates.npy"), tile.dates)
+    np.save(os.path.join(ard_dir, "dem.npy"),
+            (tile.dem * 90.0).astype(np.float32))
 
     if save_reseg:
         from ttc.infer.reseg import save_border_strips
@@ -135,6 +202,8 @@ def run_tile(x: int, y: int, year: int, backend, store: TileStore,
     with timer.stage("write"):
         tif_path = store.final_tif_path(x, y)
         if bbox is None:
+            log.warning("tile %s/%s has no DB lon/lat — writing "
+                        "placeholder georeference", x, y)
             bbox = (0.0, 0.0, raster.shape[1] / 36000.0,
                     raster.shape[0] / 36000.0)
         write_tree_cover_tif(tif_path, raster, bbox)
@@ -145,49 +214,70 @@ def run_tile(x: int, y: int, year: int, backend, store: TileStore,
     return raster
 
 
+def run_tile(x: int, y: int, year: int, backend, store: TileStore,
+             predictor, bbox=None, timer: StageTimer | None = None,
+             ul_flag: bool = False, sr_params=None,
+             gen_feats: bool = False, save_reseg: bool = False):
+    """Full per-tile flow: fetch -> ARD -> smooth -> predict -> write."""
+    timer = timer or StageTimer()
+    tile, sm = prepare_tile(x, y, year, backend, store, bbox=bbox,
+                            sr_params=sr_params, timer=timer)
+    return finish_tile(x, y, year, tile, sm, store, predictor,
+                       bbox=bbox, timer=timer, ul_flag=ul_flag,
+                       gen_feats=gen_feats, save_reseg=save_reseg)
+
+
 def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                         predictor, timer: StageTimer | None = None,
-                        ul_flag: bool = False, prefetch_depth: int = 2):
-    """Throughput mode: fetch + ARD of upcoming tiles runs in a
-    background thread while the device predicts the current one —
-    the replacement for the reference's strictly serial per-tile loop
-    (BASELINE config 5 host-overlap requirement)."""
+                        ul_flag: bool = False, sr_params=None,
+                        gen_feats: bool = False, save_reseg: bool = False,
+                        prefetch_depth: int = 2):
+    """Throughput mode: fetch + ARD of upcoming tiles runs in
+    background threads while the device predicts the current one — the
+    replacement for the reference's strictly serial per-tile loop
+    (BASELINE config 5 host-overlap requirement). Per-tile failures are
+    contained with the same backoff as the serial loop.
+
+    `tiles` is a list of (x, y) or (x, y, bbox)."""
     import concurrent.futures as cf
 
     timer = timer or StageTimer("pipelined")
+    norm_tiles = [t if len(t) == 3 else (t[0], t[1], None)
+                  for t in tiles]
 
-    def _prepare(xy):
-        x, y = xy
-        store.make_tile_folders(x, y)
-        raw = backend.fetch(x, y, None, year)
-        tile = process_tile(raw)
-        sm = smooth_tile(tile)
-        return x, y, tile, sm
+    def _prepare(xyb):
+        x, y, bbox = xyb
+        tile, sm = prepare_tile(x, y, year, backend, store, bbox=bbox,
+                                sr_params=sr_params, timer=timer)
+        return x, y, bbox, tile, sm
 
     results = {}
+    n_exceptions = 0
     with cf.ThreadPoolExecutor(max_workers=prefetch_depth) as pool:
-        futures = [pool.submit(_prepare, xy) for xy in tiles]
-        for fut in futures:
-            x, y, tile, sm = fut.result()
-            with timer.stage("predict"):
-                raster = np.asarray(predictor(
-                    sm.s2, sm.s1, sm.dem, sm.s2_median, sm.s1_median,
-                    sm.clear_count))
-            nd = ndmi_to_int16(np.asarray(ndmi(tile.s2)))
-            save_array(os.path.join(store.tile_dir(x, y),
-                                    "ard_ndmi.h5"), nd)
-            np.save(os.path.join(store.tile_dir(x, y),
-                                 "ard_dates.npy"), tile.dates)
-            tif = store.final_tif_path(x, y)
-            write_tree_cover_tif(
-                tif, raster,
-                (0.0, 0.0, raster.shape[1] / 36000.0,
-                 raster.shape[0] / 36000.0))
-            if ul_flag:
-                store.upload(tif, store.s3_key(
-                    year, "tiles", x, y, os.path.basename(tif)))
-            results[(x, y)] = raster
-            log.info("tile %s/%s complete (pipelined)", x, y)
+        futures = []
+        for xyb in norm_tiles:
+            if store.tile_done(year, xyb[0], xyb[1]):
+                log.info("tile %s/%s already done, skipping",
+                         xyb[0], xyb[1])
+                continue
+            futures.append((xyb, pool.submit(_prepare, xyb)))
+        for xyb, fut in futures:
+            try:
+                x, y, bbox, tile, sm = fut.result()
+                raster = finish_tile(
+                    x, y, year, tile, sm, store, predictor, bbox=bbox,
+                    timer=timer, ul_flag=ul_flag, gen_feats=gen_feats,
+                    save_reseg=save_reseg)
+                results[(x, y)] = raster
+                log.info("tile %s/%s complete (pipelined)", x, y)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                n_exceptions += 1
+                log.exception("tile %s/%s failed (%d failures)",
+                              xyb[0], xyb[1], n_exceptions)
+                store.cleanup_tile(xyb[0], xyb[1])
+                time.sleep(10 + 5 * n_exceptions)
     timer.log_report()
     return results
 
@@ -200,12 +290,23 @@ def main(argv=None):
     parser.add_argument("--db_path", default=None)
     parser.add_argument("--yaml_path", default="config.yaml")
     parser.add_argument("--model_path", default=None)
+    parser.add_argument("--allow_random_init", action="store_true",
+                        help="permit running without trained weights "
+                             "(predictions are meaningless)")
+    parser.add_argument("--sr_path", default=None,
+                        help="super-resolution weights (.npz); "
+                             "defaults to the bundled release weights")
+    parser.add_argument("--no_superres", action="store_true",
+                        help="disable 20 m band super-resolution")
     parser.add_argument("--s3_bucket", default=None)
     parser.add_argument("--ul_flag", action="store_true")
     parser.add_argument("--gen_feats", action="store_true")
     parser.add_argument("--save_reseg", action="store_true",
                         help="persist smoothed border strips for "
                              "re-download-free seam repair")
+    parser.add_argument("--pipelined", action="store_true",
+                        help="overlap host ARD of upcoming tiles with "
+                             "device prediction")
     parser.add_argument("--redownload", action="store_true")
     parser.add_argument("--reprocess", action="store_true")
     parser.add_argument("--start", type=int, default=0)
@@ -213,14 +314,19 @@ def main(argv=None):
     parser.add_argument("--x", type=int, default=None)
     parser.add_argument("--y", type=int, default=None)
     parser.add_argument("--length", type=int, default=4)
+    parser.add_argument("--tile_px", type=int, default=None,
+                        help="override tile geometry (default 618)")
+    parser.add_argument("--out_size", type=int, default=None)
+    parser.add_argument("--n_rows", type=int, default=None)
     parser.add_argument("--backend", default="fixture",
-                        choices=["fixture", "sentinelhub"])
+                        choices=["fixture", "forest", "sentinelhub"])
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     cfg_yaml = load_config_yaml(args.yaml_path)
 
     store = TileStore(args.local_path, bucket=args.s3_bucket)
+    fixture_hw = args.tile_px or InferenceConfig().tile_px
     if args.backend == "sentinelhub":
         from ttc.io.acquisition import SentinelHubBackend
 
@@ -228,35 +334,67 @@ def main(argv=None):
             instance_id=cfg_yaml.get("key", ""),
             client_id=cfg_yaml.get("client_id", ""),
             client_secret=cfg_yaml.get("client_secret", ""))
-    else:
-        backend = FixtureBackend()
+    elif args.backend == "forest":
+        from ttc.io.forest import ForestFixtureBackend
 
-    model, params = build_model_params(args.model_path)
+        backend = ForestFixtureBackend(hw=fixture_hw)
+    else:
+        backend = FixtureBackend(hw=fixture_hw)
+
+    model, params = build_model_params(
+        args.model_path, allow_random_init=args.allow_random_init)
+    sr_params = None if args.no_superres else load_sr_params(
+        args.sr_path)
+    if sr_params is None and not args.no_superres:
+        log.warning("superres weights not found — SR disabled")
 
     from ttc.infer.pipeline import TilePredictor
 
-    predictor = TilePredictor(params, InferenceConfig(), model)
+    cfg_kwargs = {k: getattr(args, k) for k in
+                  ("tile_px", "out_size", "n_rows")
+                  if getattr(args, k) is not None}
+    predictor = TilePredictor(params, InferenceConfig(**cfg_kwargs),
+                              model)
 
-    if args.x is not None and args.y is not None:
-        tiles = [(args.x, args.y)]
-    elif args.db_path:
+    # (x, y, bbox) triples; bbox from the DB's X/Y centroid columns
+    if args.db_path:
         df = load_tile_db(args.db_path, args.country)
-        sl = df.iloc[args.start:args.end]
-        tiles = list(zip(sl["X_tile"].astype(int),
-                         sl["Y_tile"].astype(int)))
+        if args.x is not None and args.y is not None:
+            df = df[(df["X_tile"].astype(int) == args.x)
+                    & (df["Y_tile"].astype(int) == args.y)]
+        else:
+            df = df.iloc[args.start:args.end]
+        tiles = [(int(r["X_tile"]), int(r["Y_tile"]), tile_bbox(r))
+                 for _, r in df.iterrows()]
+    elif args.x is not None and args.y is not None:
+        tiles = [(args.x, args.y, None)]
     else:
         parser.error("provide --db_path or --x/--y")
 
+    if args.backend == "sentinelhub":
+        missing = [(x, y) for x, y, b in tiles if b is None]
+        if missing:
+            parser.error(f"tiles {missing} have no lon/lat in the DB — "
+                         "cannot acquire live imagery without a bbox")
+
     timer = StageTimer("predict_job")
+    if args.pipelined:
+        run_tiles_pipelined(tiles, args.year, backend, store, predictor,
+                            timer=timer, ul_flag=args.ul_flag,
+                            sr_params=sr_params,
+                            gen_feats=args.gen_feats,
+                            save_reseg=args.save_reseg)
+        return
+
     n_exceptions = 0
-    for x, y in tiles:
+    for x, y, bbox in tiles:
         if store.tile_done(args.year, x, y):
             log.info("tile %s/%s already done, skipping", x, y)
             continue
         try:
             run_tile(x, y, args.year, backend, store, predictor,
-                     timer=timer, ul_flag=args.ul_flag,
-                     gen_feats=args.gen_feats,
+                     bbox=bbox, timer=timer, ul_flag=args.ul_flag,
+                     sr_params=sr_params, gen_feats=args.gen_feats,
                      save_reseg=args.save_reseg)
             log.info("tile %s/%s complete", x, y)
         except KeyboardInterrupt:

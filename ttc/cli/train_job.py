@@ -71,7 +71,7 @@ def main(argv=None):
     train_y = np.load(args.train_y)
     test_x = np.asarray(np.load(args.test_x), np.float32)
     test_y = np.asarray(np.load(args.test_y), np.float32)
-    if test_y.ndim == 3 and test_y.shape[-1] != cfg.out_size:
+    if test_y.ndim != 3 or test_y.shape[-1] != cfg.out_size:
         test_y = test_y.reshape(-1, cfg.out_size, cfg.out_size)
 
     mesh = make_mesh()

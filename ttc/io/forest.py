@@ -1,0 +1,175 @@
+"""Canopy-structured synthetic scenes with ground-truth tree cover.
+
+The plain FixtureBackend synthesizes uniformly vegetated tiles — fine
+for exercising the pipeline mechanics but useless for accuracy work:
+there is nothing to learn or to score. ForestFixtureBackend generates
+scenes where a smooth random canopy-fraction field drives every band's
+reflectance (trees: high NIR/B8A, low red/SWIR, strong C-band
+backscatter, evergreen phenology; background: brighter red/SWIR with
+grass phenology), so
+
+  * training patches cut from the processed ARD have real labels,
+  * end-to-end rasters can be scored against known tree cover
+    (the BASELINE "<1% mean abs tree-cover deviation" bar becomes a
+    measurable quantity on fixtures).
+
+Spectral separations follow the usual optical forest signatures the
+reference model exploits via its EVI/BI/MSAVI2/GRNDVI inputs
+(reference: src/preprocessing/indices.py:4-54, band layout
+src/download_and_predict_job.py:1398-1407).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ttc.core.codecs import to_db
+from ttc.io.acquisition import (
+    FixtureBackend,
+    RawTile,
+    s1_quarterly_to_monthly,
+    to_int16_strict,
+)
+
+
+def _box_blur(field: np.ndarray, radius: int, passes: int = 3):
+    """Separable repeated box blur (quasi-Gaussian, no scipy)."""
+    width = 2 * radius + 1
+    for _ in range(passes):
+        for axis in (0, 1):
+            pad = [(0, 0), (0, 0)]
+            pad[axis] = (radius, radius)
+            padded = np.pad(field, pad, mode="wrap")
+            zshape = list(padded.shape)
+            zshape[axis] = 1
+            cs = np.concatenate(
+                [np.zeros(zshape), np.cumsum(padded, axis=axis)],
+                axis=axis)
+            hi = [slice(None)] * 2
+            lo = [slice(None)] * 2
+            hi[axis] = slice(width, None)
+            lo[axis] = slice(None, -width)
+            field = (cs[tuple(hi)] - cs[tuple(lo)]) / width
+    return field
+
+
+def make_canopy(rng: np.random.Generator, hw: int,
+                density: float | None = None,
+                blob_radius: int = 9) -> np.ndarray:
+    """Smooth canopy-fraction field in [0, 1] with expected mean cover
+    ~= density (sampled from a wide mixture when not given)."""
+    if density is None:
+        u = rng.random()
+        if u < 0.18:
+            density = rng.uniform(0.0, 0.02)
+        elif u < 0.35:
+            density = rng.uniform(0.02, 0.15)
+        else:
+            density = rng.uniform(0.15, 0.9)
+    field = _box_blur(rng.standard_normal((hw, hw)), blob_radius)
+    field = (field - field.mean()) / (field.std() + 1e-9)
+    thr = np.quantile(field, 1.0 - density) if density > 0 else 99.0
+    # soft edges: ~2-px transition from 0 to 1 canopy fraction
+    soft = 0.35
+    return np.clip(1.0 / (1.0 + np.exp(-(field - thr) / soft)), 0.0, 1.0)
+
+
+def _scene_bands(canopy: np.ndarray, doy: np.ndarray, base: np.ndarray,
+                 rng: np.random.Generator) -> np.ndarray:
+    """(T, H, W, 10) surface reflectance driven by the canopy field."""
+    t = len(doy)
+    hw = canopy.shape[0]
+    c = canopy[None]                                  # (1, H, W)
+    grass = 0.5 + 0.5 * np.sin(2 * np.pi * (doy - 110) / 365.0)
+    tree = 0.85 + 0.15 * np.sin(2 * np.pi * (doy - 160) / 365.0)
+    g = grass[:, None, None]
+    tt = tree[:, None, None]
+    b = base[None]
+
+    s2 = np.zeros((t, hw, hw, 10), np.float32)
+    nir = (0.16 + 0.10 * g) * (1 - c) + (0.27 + 0.05 * tt) * c
+    red = (0.030 + 0.045 * (1.1 - 0.8 * g)) * (1 - c) + 0.021 * c
+    s2[..., 0] = 0.018 + 0.012 * (1 - c) + 0.5 * b          # B02
+    s2[..., 1] = 0.040 + 0.022 * (1 - c) * (1.1 - 0.5 * g) \
+        + 0.012 * c + b                                      # B03
+    s2[..., 2] = red + b                                     # B04
+    s2[..., 3] = nir + b                                     # B08
+    s2[..., 4] = 0.55 * red + 0.25 * nir                     # B05
+    s2[..., 5] = 0.25 * red + 0.55 * nir                     # B06
+    s2[..., 6] = 0.10 * red + 0.80 * nir                     # B07
+    s2[..., 7] = 0.95 * nir                                  # B8A
+    s2[..., 8] = (0.21 + 0.05 * (1 - g)) * (1 - c) \
+        + 0.105 * c + b                                      # B11
+    s2[..., 9] = (0.135 + 0.04 * (1 - g)) * (1 - c) \
+        + 0.052 * c + 0.5 * b                                # B12
+    s2 += rng.normal(0, 0.004, s2.shape).astype(np.float32)
+    return s2
+
+
+class ForestFixtureBackend(FixtureBackend):
+    """FixtureBackend variant whose scenes contain a learnable,
+    scoreable canopy structure. `canopy(x, y)` returns the ground-truth
+    tree-cover fraction field for a tile."""
+
+    def __init__(self, seed: int = 0, n_dates: int = 10, hw: int = 110,
+                 cloud_fraction: float = 0.15,
+                 density: float | None = None):
+        super().__init__(seed=seed, n_dates=n_dates, hw=hw,
+                         cloud_fraction=cloud_fraction)
+        self.density = density
+
+    def _canopy_rng(self, tile_x: int, tile_y: int):
+        return np.random.default_rng(
+            [self.seed, 7919 + tile_x * 31 + tile_y, 1234])
+
+    def canopy(self, tile_x: int, tile_y: int) -> np.ndarray:
+        return make_canopy(self._canopy_rng(tile_x, tile_y), self.hw,
+                           self.density)
+
+    def fetch(self, tile_x: int, tile_y: int, bbox, year: int) -> RawTile:
+        rng = np.random.default_rng(
+            [self.seed * 7919 + tile_x * 31 + tile_y, 77])
+        t, hw = self.n_dates, self.hw
+        canopy = self.canopy(tile_x, tile_y)
+        dates = np.sort(rng.choice(np.arange(5, 360), t, replace=False))
+
+        base = rng.random((hw, hw)).astype(np.float32) * 0.03
+        s2 = _scene_bands(canopy, dates, base, rng)
+
+        clouds_prev = np.zeros((t, 28, 28), np.float32)
+        for i in range(t):
+            if rng.random() < self.cloud_fraction * 2:
+                cx, cy = rng.integers(4, max(5, hw - 40), 2)
+                sz = int(rng.integers(15, 45))
+                s2[i, cx:cx + sz, cy:cy + sz, :3] += 0.3
+                s2[i, cx:cx + sz, cy:cy + sz, 3:] += 0.15
+                clouds_prev[i, cx * 28 // hw:(cx + sz) * 28 // hw,
+                            cy * 28 // hw:(cy + sz) * 28 // hw] = 80.0
+        s2 = np.clip(s2, 0.005, 0.99)
+
+        q_dates = np.array([45, 136, 227, 318])
+        vv = (0.022 * (1 - canopy) + 0.060 * canopy)[None, ..., None]
+        vh = (0.006 * (1 - canopy) + 0.026 * canopy)[None, ..., None]
+        mean_lin = np.concatenate([vv, vh], axis=-1)      # (1, H, W, 2)
+        s1_lin = np.clip(
+            mean_lin * rng.gamma(8.0, 1 / 8.0, (4, hw, hw, 2)),
+            1e-4, 1.0).astype(np.float32)
+        s1 = s1_quarterly_to_monthly(to_db(s1_lin, 22), q_dates)
+
+        import jax.numpy as jnp
+
+        from ttc.ops.slope import calc_slope
+
+        elev = (300 + 80 * np.sin(np.linspace(0, 4, hw + 2))[:, None]
+                + rng.normal(0, 2, (hw + 2, hw + 2))).astype(np.float32)
+        dem = np.asarray(calc_slope(jnp.asarray(elev), 10.0, 10.0,
+                                    min_slope=0.02))[1:-1, 1:-1]
+
+        return RawTile(
+            s2_10=to_int16_strict(s2[..., :4]),
+            s2_20=to_int16_strict(s2[:, ::2, ::2, 4:]),
+            s2_dates=dates,
+            clouds=clouds_prev / 100.0,
+            s1=s1.astype(np.float32),
+            s1_dates=np.arange(15, 360, 30),
+            dem=dem,
+        )

@@ -215,8 +215,10 @@ class ConvSwishGN(nn.Module):
             out = jax.nn.swish(out)
 
         mask = None
-        use_drop = (self.use_dropblock and not deterministic
-                    and keep_rate < 1.0)
+        # keep_rate may be a traced scalar (the schedule feeds it into
+        # the jitted train step); at keep_rate=1 gamma=0 so the mask is
+        # all-ones and dropblock is identity — no Python branch needed.
+        use_drop = self.use_dropblock and not deterministic
         if use_drop:
             rng = self.make_rng("dropblock")
             mask = dropblock_mask(rng, out.shape, keep_rate, self.block_size)

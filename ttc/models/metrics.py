@@ -21,10 +21,16 @@ def _maxpool3(x: np.ndarray) -> np.ndarray:
     return ndimage.maximum_filter(x, size=3, mode="constant", cval=0)
 
 
-def tolerant_f1_counts(true: np.ndarray, pred: np.ndarray):
+def tolerant_f1_counts(true: np.ndarray, pred: np.ndarray,
+                       true_thresh: float = 0.5):
     """TP/FP/FN with 1-px tolerance: a true positive needs any predicted
-    positive in the 3x3 neighborhood and vice versa."""
-    true = (true > 0).astype(np.uint8)
+    positive in the 3x3 neighborhood and vice versa.
+
+    Truth is binarized at `true_thresh` canopy fraction — the reference
+    tests `true == 1` on its 0/0.3-1.0 label encoding
+    (losses.py:259-266); with fractional labels a majority-canopy
+    threshold is the equivalent."""
+    true = (true >= true_thresh).astype(np.uint8)
     pred = (pred > 0).astype(np.uint8)
     pred_near = _maxpool3(pred)
     true_near = _maxpool3(true)

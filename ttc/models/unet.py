@@ -93,7 +93,8 @@ class TreeCoverNet(nn.Module):
 
 
 def _maybe_dropblock(mod, x, deterministic, keep_rate):
-    if deterministic or keep_rate >= 1.0:
+    # keep_rate may be traced; at 1.0 the mask is all-ones (identity)
+    if deterministic:
         return x
     from ttc.models.layers import apply_dropblock, dropblock_mask
 

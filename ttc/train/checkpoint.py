@@ -69,3 +69,48 @@ def load_params(directory: str, step: int | None = None):
 def load_metrics(directory: str) -> np.ndarray | None:
     path = os.path.join(directory, "metrics.npy")
     return np.load(path) if os.path.exists(path) else None
+
+
+def best_step(directory: str) -> int | None:
+    """Step with the highest recorded F1 (from the .f1 sidecars the
+    saver writes) — the selection the reference's '{epoch}-{f1}' dir
+    naming enabled (reference: train-model.py:492-500)."""
+    if not os.path.isdir(directory):
+        return None
+    best = None
+    for name in os.listdir(directory):
+        m = re.match(r"step_(\d+)\.f1$", name)
+        if m:
+            with open(os.path.join(directory, name)) as f:
+                f1 = float(f.read().strip())
+            if best is None or f1 > best[1]:
+                best = (int(m.group(1)), f1)
+    return best[0] if best else None
+
+
+# --- flat .npz release-weight format -------------------------------------
+# The counterpart of the reference's frozen-graph release artifacts
+# (models-release/, loaded at download_and_predict_job.py:1784-1826):
+# a single self-contained file, no orbax layout needed at inference.
+
+def save_params_npz(path: str, params) -> None:
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for p, leaf in flat:
+        key = "/".join(k.key for k in p)
+        out[key] = np.asarray(leaf)
+    np.savez(path, **out)
+
+
+def load_params_npz(path: str):
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = data[key]
+    return tree

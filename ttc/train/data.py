@@ -89,6 +89,7 @@ def augment_batch(batch_ids, train_x, train_y, length: int = 4,
         x_batch[i, -1] = np.median(x[i, med_steps], axis=0)
 
     y_batch = np.array(train_y[batch_ids], dtype=np.float32)
+    y_batch = y_batch.reshape(b, out_size, out_size)
 
     flips = rng.choice(4, b)
     for i in range(b):
@@ -107,4 +108,4 @@ def augment_batch(batch_ids, train_x, train_y, length: int = 4,
     mults = np.clip(rng.normal(1, 0.06, (b, 1, 1, 1)), 0.5, 2)
     x_batch[..., 10] = _apply_norm(slope * mults, 10)
 
-    return x_batch, y_batch.reshape(b, out_size, out_size)
+    return x_batch, y_batch
