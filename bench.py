@@ -68,7 +68,8 @@ def _raw_tile(seed: int):
     backend = ForestFixtureBackend(seed=seed, n_dates=N_DATES, hw=HW,
                                    cloud_fraction=0.05)
     raw = backend.fetch(seed, 0, None, 2023)
-    np.savez_compressed(path, **raw.__dict__)
+    np.savez_compressed(path, **{k: v for k, v in raw.__dict__.items()
+                                 if v is not None})
     return raw
 
 

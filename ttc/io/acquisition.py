@@ -138,6 +138,125 @@ def screen_cloud_previews(cloud_img: np.ndarray, cloud_dates: np.ndarray,
             np.asarray(cloud_dates), local_clouds)
 
 
+def remove_noise_clouds(arr: np.ndarray) -> np.ndarray:
+    """Clear isolated persistent-commission cirrus pixels: a cloudy
+    pixel whose 3x3 window holds no other cloud AND that is cloudy in
+    more than T-1 dates is noise, not cloud
+    (reference: tof_downloading.py:897-910, vectorized — isolated
+    centers are mutually non-adjacent, so the reference's sequential
+    in-place loop and this parallel form are equivalent)."""
+    arr = np.array(arr, copy=True)
+    t_total = arr.shape[0]
+    cloudy = (arr > 0).astype(np.int32)
+    persistent = np.sum(cloudy, axis=0) > (t_total - 1)       # (H, W)
+    win = np.zeros_like(cloudy)
+    win[:, 1:-1, 1:-1] = sum(
+        cloudy[:, 1 + dx:arr.shape[1] - 1 + dx,
+               1 + dy:arr.shape[2] - 1 + dy]
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    isolated = (cloudy > 0) & (win <= 1)
+    isolated[:, 0, :] = isolated[:, -1, :] = False
+    isolated[:, :, 0] = isolated[:, :, -1] = False
+    clear = isolated & persistent[None]
+    arr[clear] = 0
+    return arr
+
+
+def screen_data_quality(quality_img: np.ndarray,
+                        threshold: float = 0.2) -> np.ndarray:
+    """Indices of dates failing the 160 m DATA_QUALITY screen (AOT /
+    sun-zenith / view-zenith flags, uint8 255 = bad): drop dates with
+    more than `threshold` bad fraction
+    (reference: tof_downloading.py:1006-1019)."""
+    quality_per_img = np.mean(np.float32(quality_img), axis=(1, 2)) / 255
+    return np.argwhere(quality_per_img > threshold).flatten()
+
+
+def _nearest_resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor spatial resize of (T, H, W, C)."""
+    ih = (np.arange(h) * arr.shape[1] / h).astype(np.int64)
+    iw = (np.arange(w) * arr.shape[2] / w).astype(np.int64)
+    return arr[:, ih][:, :, iw]
+
+
+def reconcile_40m(img_40: np.ndarray, target_h: int,
+                  target_w: int) -> np.ndarray:
+    """Upsample the 40 m band group 2x and reconcile odd-shape
+    mismatches against the 20 m grid: nearest-resize when smaller,
+    2-px center trim, or 1-px repeat-trim-average
+    (reference: tof_downloading.py:1055-1088)."""
+    img_40 = img_40.repeat(2, axis=1).repeat(2, axis=2)
+
+    if (target_h > img_40.shape[1]) or (target_w > img_40.shape[2]):
+        img_40 = _nearest_resize(img_40, target_h, target_w)
+
+    if img_40.shape[1] > target_h:
+        to_remove = img_40.shape[1] - target_h
+        if to_remove == 2:
+            img_40 = img_40[:, 1:-1]
+        if to_remove == 1:
+            img_40 = img_40.repeat(2, axis=1).repeat(2, axis=2)
+            img_40 = img_40[:, 1:-1]
+            img_40 = img_40.reshape(
+                img_40.shape[0], img_40.shape[1] // 2, 2,
+                img_40.shape[2] // 2, 2, img_40.shape[-1])
+            img_40 = np.mean(img_40, axis=(2, 4))
+
+    if img_40.shape[2] > target_w:
+        to_remove = img_40.shape[2] - target_w
+        if to_remove == 2:
+            img_40 = img_40[:, :, 1:-1]
+        if to_remove == 1:
+            img_40 = img_40.repeat(2, axis=1).repeat(2, axis=2)
+            img_40 = img_40[:, :, 1:-1]
+            img_40 = img_40.reshape(
+                img_40.shape[0], img_40.shape[1] // 2, 2,
+                img_40.shape[2] // 2, 2, img_40.shape[-1])
+            img_40 = np.mean(img_40, axis=(2, 4))
+    return img_40
+
+
+def identify_s1_orbit(lat: float, lon: float) -> str:
+    """Ascending/descending S1 orbit per continent/latitude, from the
+    Sentinel-1 observation-scenario coverage. The reference reverse-
+    geocodes to a continent code (tof_downloading.py:720-757, SENT =
+    ascending, SENT_DESC = descending); this uses coarse lon/lat
+    continent boxes instead of the geocoder dependency."""
+    if -20 <= lon <= 55 and -35 <= lat <= 38:       # Africa
+        return "ASCENDING"
+    if 110 <= lon <= 180 and -50 <= lat <= 0:       # Oceania
+        return "ASCENDING"
+    if -82 <= lon <= -34 and -56 <= lat <= 13:      # South America
+        return "ASCENDING" if lat > -7.11 else "DESCENDING"
+    if 55 < lon <= 180 and 0 <= lat <= 55:          # Asia
+        return "ASCENDING" if lat > 23.3 else "DESCENDING"
+    if -170 <= lon <= -50 and 13 < lat <= 72:       # N/C America
+        return "DESCENDING"
+    return "ASCENDING"
+
+
+def s1_fallback_plan(year: int, orbit: str):
+    """The reference's S1 acquisition ladder: per year (this year, then
+    up to 4 years back, then up to 2 forward) try the chosen orbit, the
+    opposite orbit, then both
+    (reference: download_and_predict_job.py:425-459)."""
+    other = "DESCENDING" if orbit == "ASCENDING" else "ASCENDING"
+    for y in (year, year - 1, year - 2, year - 3, year - 4,
+              year + 1, year + 2):
+        yield y, orbit
+        yield y, other
+        yield y, "ALL"
+
+
+def reject_nan_quarters(s1_quarters: np.ndarray) -> np.ndarray:
+    """Valid-quarter mask: a quarterly composite that is entirely
+    nodata (NaN or 0) is rejected
+    (reference: tof_downloading.py:667-682 nan-quarter rejection)."""
+    flat = s1_quarters.reshape(s1_quarters.shape[0], -1)
+    all_bad = np.all(~np.isfinite(flat) | (flat == 0), axis=1)
+    return ~all_bad
+
+
 def s1_quarterly_to_monthly(s1_quarters: np.ndarray,
                             dates: np.ndarray) -> np.ndarray:
     """(Q, H, W, 2) quarterly composites -> (12, H, W, 2) pseudo-monthly
@@ -170,6 +289,9 @@ class RawTile:
                                # reference computes slope at download
                                # time (tof_downloading.py:451-495) and
                                # the raw dem_{tile}.hkl stores it
+    cirrus: Optional[np.ndarray] = None   # (T, h, w) 160 m denoised
+                               # cirrus flags (tof_downloading.py:994-
+                               # 1003); None for backends without it
 
 
 class AcquisitionBackend(Protocol):
@@ -318,6 +440,44 @@ function evaluatePixel(sample) {
 }
 """
 
+# 160 m AOT / zenith data-quality flags (reference README.md:321-355)
+EVALSCRIPT_DATA_QUALITY = """//VERSION=3
+function setup() {
+  return {input: [{bands: ["dataMask", "viewZenithMean",
+                           "sunZenithAngles", "AOT"]}],
+          output: {bands: 1, sampleType: "UINT8"},
+          mosaicking: "ORBIT"};
+}
+function evaluatePixel(samples) {
+  var s = samples[0];
+  if (s.dataMask == 0) return [255];
+  if (s.AOT > 0.6) return [255];
+  if (s.sunZenithAngles < 13) return [255];
+  if (s.viewZenithMean > 12) return [255];
+  return [0];
+}
+"""
+
+# 160 m darkest-pixel cirrus flags (reference README.md:358-399)
+EVALSCRIPT_CIRRUS = """//VERSION=3
+function setup() {
+  return {input: [{bands: ["B02", "CLP", "dataMask"]}],
+          output: {bands: 1, sampleType: "UINT16"},
+          mosaicking: "ORBIT"};
+}
+function evaluatePixel(samples) {
+  var b02 = 1, scl = 0;
+  for (var i = 0; i < samples.length; i++) {
+    var s = samples[i];
+    if (s.dataMask == 1 && s.B02 < b02) {
+      b02 = s.B02;
+      if (s.CLP > (255 * 0.67)) { scl = 2; }
+    }
+  }
+  return [scl];
+}
+"""
+
 EVALSCRIPT_S1 = """//VERSION=3
 function setup() {
   return {input: [{bands: ["VV", "VH"]}],
@@ -365,7 +525,7 @@ class SentinelHubBackend:
 
     def _process_request(self, evalscript, bbox, time_interval, size,
                          collection_name="SENTINEL2_L2A",
-                         mosaicking_order=None):
+                         mosaicking_order=None, orbit=None):
         from sentinelhub import (
             BBox, CRS, DataCollection, MimeType, SentinelHubRequest,
         )
@@ -374,6 +534,12 @@ class SentinelHubBackend:
         input_kwargs = {"time_interval": time_interval}
         if mosaicking_order:
             input_kwargs["mosaicking_order"] = mosaicking_order
+        if orbit and orbit != "ALL":
+            # apply the chosen S1 orbit to the request itself
+            # (reference layers SENT / SENT_DESC,
+            # tof_downloading.py:720-757)
+            input_kwargs["other_args"] = {
+                "dataFilter": {"orbitDirection": orbit}}
         request = SentinelHubRequest(
             evalscript=evalscript,
             input_data=[SentinelHubRequest.input_data(
@@ -405,12 +571,34 @@ class SentinelHubBackend:
         dates = dates[keep]
         cloud_img = cloud_img[keep]
 
-        # 2. per-date S2 band groups (10 m and 20 m)
         h10 = int(round((bbox[3] - bbox[1]) * 360 * 10))
+        h160 = max(h10 // 16, 4)
+
+        # 2a. 160 m DATA_QUALITY screen: drop >20%-bad dates
+        # (reference: tof_downloading.py:1006-1019)
+        quality = np.stack([
+            self._process_request(
+                EVALSCRIPT_DATA_QUALITY, bbox,
+                _doy_interval(year, int(d)), (h160, h160))[0][..., 0]
+            for d in dates])
+        bad = screen_data_quality(quality)
+        if len(bad):
+            keep = np.setdiff1d(np.arange(len(dates)), bad)
+            dates = dates[keep]
+            cloud_img = cloud_img[keep]
+
+        # 2b. 160 m cirrus layer, denoised (reference :897-910,994-1003)
+        cirrus = np.stack([
+            self._process_request(
+                EVALSCRIPT_CIRRUS, bbox,
+                _doy_interval(year, int(d)), (h160, h160))[0][..., 0]
+            for d in dates]).astype(np.float32)
+        cirrus = (remove_noise_clouds(cirrus) > 0).astype(np.float32)
+
+        # 2c. per-date S2 band groups (10 m, 20 m, 40 m reconciled)
         s2_10 = []
         s2_20 = []
         for d in dates:
-            day = (f"{year}-01-01", d)
             window = _doy_interval(year, int(d))
             img10 = self._process_request(
                 EVALSCRIPT_L2A10, bbox, window, (h10, h10),
@@ -418,27 +606,50 @@ class SentinelHubBackend:
             img20a = self._process_request(
                 EVALSCRIPT_L2A20, bbox, window, (h10 // 2, h10 // 2),
                 mosaicking_order="leastCC")[0]
-            img20b = self._process_request(
-                EVALSCRIPT_L2A40, bbox, window, (h10 // 2, h10 // 2),
+            img40 = self._process_request(
+                EVALSCRIPT_L2A40, bbox, window, (h10 // 4, h10 // 4),
                 mosaicking_order="leastCC")[0]
+            img40 = reconcile_40m(img40[None], img20a.shape[0],
+                                  img20a.shape[1])[0]
             s2_10.append(img10)
-            s2_20.append(np.concatenate([img20a, img20b], axis=-1))
-            del day
+            s2_20.append(np.concatenate([img20a, img40], axis=-1))
         s2_10 = np.stack(s2_10)
         s2_20 = np.stack(s2_20)
 
-        # 3. quarterly S1 composites -> monthly dB
+        # 3. quarterly S1 composites -> monthly dB, with the orbit
+        # choice applied to requests and the year/orbit fallback ladder
+        # (reference: download_and_predict_job.py:425-459)
         q_dates = np.array([45, 136, 227, 318])
-        s1_q = []
-        for qi in range(4):
-            start = (f"{year}-{1 + qi * 3:02d}-01")
-            end_m = 3 + qi * 3
-            end = (f"{year}-{end_m:02d}-28")
-            arr = self._process_request(
-                EVALSCRIPT_S1, bbox, (start, end), (h10 // 2, h10 // 2),
-                collection_name="SENTINEL1_IW")[0]
-            s1_q.append(np.repeat(np.repeat(arr, 2, 0), 2, 1)[:h10, :h10])
-        s1_lin = np.clip(np.stack(s1_q), 1e-5, 1.0)
+        lat = (bbox[1] + bbox[3]) / 2
+        lon = (bbox[0] + bbox[2]) / 2
+        orbit = identify_s1_orbit(lat, lon)
+        s1_q = None
+        for try_year, try_orbit in s1_fallback_plan(year, orbit):
+            quarters = []
+            for qi in range(4):
+                start = f"{try_year}-{1 + qi * 3:02d}-01"
+                end = f"{try_year}-{3 + qi * 3:02d}-28"
+                arr = self._process_request(
+                    EVALSCRIPT_S1, bbox, (start, end),
+                    (h10 // 2, h10 // 2),
+                    collection_name="SENTINEL1_IW",
+                    orbit=try_orbit)[0]
+                quarters.append(
+                    np.repeat(np.repeat(arr, 2, 0), 2, 1)[:h10, :h10])
+            quarters = np.stack(quarters)
+            valid = reject_nan_quarters(quarters)
+            if valid.any():
+                # repeat nearest valid quarter into rejected slots
+                idx = np.arange(4)
+                good = idx[valid]
+                fill = good[np.argmin(
+                    np.abs(idx[:, None] - good[None]), axis=1)]
+                s1_q = quarters[fill]
+                break
+        if s1_q is None:
+            raise RuntimeError("no Sentinel-1 imagery found across the "
+                               "orbit/year fallback ladder")
+        s1_lin = np.clip(np.nan_to_num(s1_q, nan=0.0), 1e-5, 1.0)
         s1 = s1_quarterly_to_monthly(
             np.asarray(to_db(s1_lin, 22)), q_dates)
 
@@ -462,6 +673,7 @@ class SentinelHubBackend:
             s1=s1.astype(np.float32),
             s1_dates=np.arange(15, 360, 30),
             dem=slope,
+            cirrus=cirrus,
         )
 
     def _get_cloud_previews(self, big_bbox, span, year):
@@ -501,18 +713,4 @@ function evaluatePixel(sample) {
 """
 
 
-# Sentinel-1 orbit selection (reference identify_s1_layer,
-# tof_downloading.py:720-757): the reference reverse-geocodes the
-# continent; the actual decision reduces to longitude/latitude bands,
-# reimplemented here without the reverse_geocoder dependency.
-def identify_s1_orbit(lat: float, lon: float) -> str:
-    """'ASCENDING' or 'DESCENDING' orbit choice by region."""
-    # Americas (lon < -30): descending south of ~7N, else ascending
-    if lon < -30:
-        return "DESCENDING" if lat < 7 else "ASCENDING"
-    # Africa/Europe (-30..60): ascending in the northern tropics,
-    # descending in the south
-    if lon < 60:
-        return "ASCENDING" if lat >= 0 else "DESCENDING"
-    # Asia/Oceania: descending
-    return "DESCENDING"
+# (identify_s1_orbit lives with the other acquisition screens above.)
