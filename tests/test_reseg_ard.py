@@ -40,15 +40,17 @@ def test_border_strip_roundtrip_and_repredict(tmp_path):
                              direction="x", strip_width=40)
     assert fn is not None
     strip = fn()
-    assert strip.shape[1] == 120  # two 60-px borders
+    # contract: (tile_H, 2*strip_width), the innermost strip_width px
+    # of each stored border
+    assert strip.shape == (110, 80)
     assert np.isfinite(strip).all()
+    assert fn.strip_width == 40
 
     # drive a full repair with artificial seam rasters
     left = np.full((110, 110), 30, np.uint8)
     right = np.full((110, 110), 75, np.uint8)
     l2, r2, repaired = resegment_pair(
-        left, right, lambda: strip[:110, 20:100] / 1.0,
-        strip_width=40)
+        left, right, lambda: strip, strip_width=40)
     assert repaired
 
 

@@ -121,7 +121,7 @@ def blend_strip_into_rasters(left_raster: np.ndarray,
                              right_raster: np.ndarray,
                              strip_preds: np.ndarray,
                              strip_width: int,
-                             sigma: float = 36.0):
+                             sigma: float | None = None):
     """Gaussian re-blend of a border strip prediction (H, 2*strip_width)
     spanning the last strip_width cols of the left tile and first of the
     right (reference mosaic_subtiles / recreate_resegmented_tifs
@@ -129,6 +129,10 @@ def blend_strip_into_rasters(left_raster: np.ndarray,
     (the reference writes them as *_SMOOTH_X)."""
     h = left_raster.shape[0]
     w = strip_width
+    if sigma is None:
+        # keep the reference's decay-to-zero profile at any strip
+        # width (36 px sigma at the production width of 158)
+        sigma = 36.0 / 158.0 * w
     ramp = fspecial_gauss(2 * w, sigma)[0]
     ramp = ramp / ramp.max()
     # weight ~1 at the seam, decaying outward
@@ -230,11 +234,133 @@ def load_border_strips(store, x, y, edge: str):
     return out
 
 
+def seam_diff(left_raster: np.ndarray, right_raster: np.ndarray,
+              edge_px: int = 8) -> float:
+    """Mean |column-mean| step across the seam, the reference's
+    before/after repair quality metric (reference:
+    resegment_tiles_wide.py:1763-1773): nanmean over the left tile's
+    last `edge_px` columns vs the right tile's first."""
+    l = left_raster[:, -edge_px:].astype(np.float32)
+    r = right_raster[:, :edge_px].astype(np.float32)
+    l = np.where(l == NODATA, np.nan, l)
+    r = np.where(r == NODATA, np.nan, r)
+    return float(np.nanmean(np.abs(np.nanmean(r, axis=1)
+                                   - np.nanmean(l, axis=1))))
+
+
+def update_ard_tiles(left_dir: str, right_dir: str,
+                     direction: str = "x", width: int = 158,
+                     smooth_rows: int = 32) -> bool:
+    """Patch both tiles' stored change-detection ARD after a seam
+    repair so downstream change detection sees the seam-consistent
+    data the repaired rasters came from.
+
+    Counterpart of the reference's update_ard_tiles (reference:
+    resegment_tiles_wide.py:793-846), which re-downloads the middle
+    strip and linearly cross-fades it into both tiles' 13-band
+    ard.hkl. Our artifact schema stores per-date NDMI stacks
+    (ard_ndmi.h5, int16) instead of full-band ARD, and our repair
+    re-predicts from stored borders rather than re-downloading — so
+    the equivalent operation is: estimate the per-row NDMI step at
+    the seam from the two stacks' temporal medians and remove it with
+    the same linear ramp the reference uses for its cross-fade (1 at
+    the seam, 0 at `width` px in). Each tile keeps its own dates (the
+    stacks' T may differ).
+
+    Returns True when both stacks existed and were patched.
+    """
+    import os
+
+    from ttc.io.arrays import load_array, save_array
+
+    paths = [os.path.join(d, "ard_ndmi.h5") for d in (left_dir,
+                                                      right_dir)]
+    if not all(os.path.exists(p) for p in paths):
+        return False
+    left = load_array(paths[0]).astype(np.float32)
+    right = load_array(paths[1]).astype(np.float32)
+    if direction == "y":
+        left = np.swapaxes(left, 1, 2)
+        right = np.swapaxes(right, 1, 2)
+
+    w = min(width, left.shape[2] // 2, right.shape[2] // 2)
+    # per-row seam step from temporal medians of the innermost 3 cols
+    lm = np.nanmedian(left[:, :, -3:], axis=(0, 2))
+    rm = np.nanmedian(right[:, :, :3], axis=(0, 2))
+    delta = rm - lm  # (H,)
+    # box-smooth along rows so the correction follows the landscape,
+    # not per-pixel noise
+    k = max(1, smooth_rows)
+    kernel = np.ones(k, np.float32) / k
+    delta = np.convolve(np.pad(delta, k // 2, mode="edge"), kernel,
+                        mode="same")[k // 2: k // 2 + left.shape[1]]
+    ramp = 1.0 - np.arange(w, dtype=np.float32) / w  # 1 at seam -> 0
+    # each tile moves half the step toward the other, faded outward
+    left[:, :, -w:] += (delta[:, None] / 2) * ramp[::-1][None, :]
+    right[:, :, :w] -= (delta[:, None] / 2) * ramp[None, :]
+
+    if direction == "y":
+        left = np.swapaxes(left, 1, 2)
+        right = np.swapaxes(right, 1, 2)
+    # requantize with the production codec (int16 x 10000, steps of 5)
+    from ttc.core.codecs import ndmi_to_int16
+
+    save_array(paths[0], ndmi_to_int16(left / 10000.0))
+    save_array(paths[1], ndmi_to_int16(right / 10000.0))
+    return True
+
+
+def update_border_strips(store, left_xy, right_xy, aligned_s2,
+                         direction: str = "x") -> bool:
+    """Write the histogram-aligned strip s2 back into the two tiles'
+    stored border bundles, so later repair passes (and the y-pass
+    after an x-pass) start from seam-consistent ARD — the
+    border-bundle analogue of the reference's stored-ARD patch
+    (reference: resegment_tiles_wide.py:793-846).
+
+    `aligned_s2` is the (T, H, 2*width, C) strip in the east-west
+    frame returned by align_border_histograms (left tile's trailing
+    edge in the first half of axis 2)."""
+    import os
+
+    from ttc.io.arrays import load_array, save_array
+
+    half = aligned_s2.shape[2] // 2
+    la, ra = aligned_s2[:, :, :half], aligned_s2[:, :, half:]
+    if direction == "y":
+        # rotate back from the east-west frame (see ard_strip_predictor)
+        la, ra = np.swapaxes(la, 1, 2), np.swapaxes(ra, 1, 2)
+        edges = ("south", "north")
+    else:
+        edges = ("east", "west")
+    # the aligned strip covers the innermost `half` px of each stored
+    # bundle — patch in place (near-seam slice first for east/south)
+    seam_axis = 1 if direction == "y" else 2
+    for (x, y), edge, arr in ((left_xy, edges[0], la),
+                              (right_xy, edges[1], ra)):
+        path = os.path.join(store.tile_dir(x, y), "reseg",
+                            f"{edge}_s2.h5")
+        if not os.path.exists(path):
+            return False
+        stored = load_array(path).astype(np.float32)
+        sl = [slice(None)] * stored.ndim
+        sl[seam_axis] = slice(-arr.shape[seam_axis], None) \
+            if edge in ("east", "south") else \
+            slice(0, arr.shape[seam_axis])
+        stored[tuple(sl)] = arr
+        save_array(path, stored)
+    return True
+
+
 def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
                         direction: str = "x", strip_width: int = 158):
-    """Build a strip-predict callable from stored border ARD: left
-    tile's trailing edge + right tile's leading edge, histogram-aligned
-    at the seam, through the normal window predictor. Returns None when
+    """Build a strip-predict callable from stored border ARD: the
+    innermost `strip_width` columns of the left tile's trailing edge +
+    of the right tile's leading edge, histogram-aligned at the seam,
+    through the normal window predictor. The returned callable yields
+    an (H, 2*strip_width) strip matching resegment_pair's contract,
+    and exposes `.strip_width` (clamped when the stored borders are
+    narrower) and, after a call, `.aligned_s2`. Returns None when
     either border bundle is missing (caller falls back to blending)."""
     left = load_border_strips(store, *left_xy,
                               "east" if direction == "x" else "south")
@@ -249,6 +375,13 @@ def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
     from ttc.infer.pipeline import TilePredictor
     from ttc.models.unet import TreeCoverNet
 
+    def _seam_axis_len(bundle):
+        arr = bundle["s2"]
+        return arr.shape[1 if direction == "y" else 2]
+
+    strip_width = min(strip_width, _seam_axis_len(left),
+                      _seam_axis_len(right))
+
     def _cat(name, axis):
         la, ra = left[name], right[name]
         if direction == "y":
@@ -257,6 +390,12 @@ def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
                 if la.ndim > 2 else la.T
             ra = np.swapaxes(ra, axis - 1, axis) \
                 if ra.ndim > 2 else ra.T
+        # innermost strip_width columns on each side of the seam
+        sl = [slice(None)] * la.ndim
+        sl[axis] = slice(-strip_width, None)
+        la = la[tuple(sl)]
+        sl[axis] = slice(0, strip_width)
+        ra = ra[tuple(sl)]
         return np.concatenate([la, ra], axis=axis)
 
     def _fn():
@@ -268,35 +407,42 @@ def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
         cc = _cat("clear_count", 1)
 
         s2 = np.asarray(align_border_histograms(s2))
+        _fn.aligned_s2 = s2  # for update_border_strips after repair
         hw = s2.shape[1]
         w = s2.shape[2]
         # predictor geometry on the strip: out windows tile the strip.
         # U-Net skip crops need (out + 14) % 4 == 0, i.e. out % 4 == 2.
-        out = min(strip_width, w // 2)
+        # the predictor runs on a square tile: pad both spatial axes
+        # (reflect) up to S = max(H, 2*strip_width), crop after
+        s = max(hw, w)
+        out = min(strip_width, s // 2)
         out -= (out - 2) % 4
-        n_rows = max(2, int(np.ceil((w - out) / out)) + 1)
-        cfg = InferenceConfig(tile_px=w, out_size=out, n_rows=n_rows)
-        # strip height may differ from width; pad H to W for the
-        # square predictor then crop back
+        n_rows = max(2, int(np.ceil((s - out) / out)) + 1)
+        cfg = InferenceConfig(tile_px=s, out_size=out, n_rows=n_rows)
         model_ = model or TreeCoverNet()
         predictor = TilePredictor(params, cfg, model_)
-        if hw != w:
-            def padh(a, target, axis):
-                pad = [(0, 0)] * a.ndim
-                pad[axis] = (0, max(0, target - a.shape[axis]))
-                return np.pad(a, pad, mode="reflect")[
-                    tuple(slice(None) if i != axis else slice(0, target)
-                          for i in range(a.ndim))]
-            s2 = padh(s2, w, 1)
-            s1 = padh(s1, w, 1)
-            slope = padh(slope, w, 0)
-            s2m = padh(s2m, w, 0)
-            s1m = padh(s1m, w, 0)
-            cc = padh(cc, w, 0)
+
+        def pad_to(a, h_axis):
+            for ax in (h_axis, h_axis + 1):
+                need = s - a.shape[ax]
+                if need > 0:
+                    pad = [(0, 0)] * a.ndim
+                    pad[ax] = (0, need)
+                    mode = "reflect" if need < a.shape[ax] else "edge"
+                    a = np.pad(a, pad, mode=mode)
+            return a
+
+        s2 = pad_to(s2, 1)
+        s1 = pad_to(s1, 1)
+        slope = pad_to(slope, 0)
+        s2m = pad_to(s2m, 0)
+        s1m = pad_to(s1m, 0)
+        cc = pad_to(cc, 0)
         raster = np.asarray(predictor(s2, s1, slope, s2m, s1m, cc))
-        raster = raster[:hw].astype(np.float32)
+        raster = raster[:hw, :w].astype(np.float32)
         out_strip = np.where(raster == 255, np.nan, raster / 100.0)
         out_strip = np.where(np.isnan(out_strip), 0.5, out_strip)
         return out_strip
 
+    _fn.strip_width = strip_width
     return _fn
