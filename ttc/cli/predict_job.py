@@ -102,7 +102,9 @@ def build_model_params(model_path: str | None, rng_seed: int = 0,
             return model, load_params_npz(model_path)
         from ttc.train.checkpoint import load_params
 
-        return model, load_params(model_path)
+        # best-by-F1 selection, the reference's '{epoch}-{f1}' naming
+        # intent (train-model.py:492-500); falls back to latest
+        return model, load_params(model_path, step="best")
     if not allow_random_init:
         raise FileNotFoundError(
             "no trained weights: bundled release weights missing at "

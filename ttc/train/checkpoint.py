@@ -49,8 +49,13 @@ def latest_step(directory: str) -> int | None:
     return max(steps) if steps else None
 
 
-def load_checkpoint(directory: str, step: int | None = None,
+def load_checkpoint(directory: str, step: int | str | None = None,
                     template=None):
+    """Restore a checkpoint: a specific step, the latest (default), or
+    the best-by-F1 (`step="best"`, falling back to latest when no .f1
+    sidecars exist)."""
+    if step == "best":
+        step = best_step(directory)
     step = step if step is not None else latest_step(directory)
     if step is None:
         raise FileNotFoundError(f"no checkpoints in {directory}")
@@ -61,7 +66,7 @@ def load_checkpoint(directory: str, step: int | None = None,
         return ckptr.restore(path), step
 
 
-def load_params(directory: str, step: int | None = None):
+def load_params(directory: str, step: int | str | None = None):
     payload, _ = load_checkpoint(directory, step)
     return payload["params"]
 
