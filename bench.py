@@ -76,11 +76,14 @@ def _raw_tile(seed: int):
 def _build_predictor(tile_batch: int = 1):
     from ttc.core.config import InferenceConfig
     from ttc.infer.pipeline import TilePredictor
-    from ttc.models.unet import TreeCoverNet
+    from ttc.models.unet import TreeCoverNet, inference_model
 
     params, origin = _load_params(TreeCoverNet)
+    # production default: bf16 activations (drift-gated, see
+    # ttc.models.unet.inference_model)
     predictor = TilePredictor(params, InferenceConfig(),
-                              TreeCoverNet(), tile_batch=tile_batch)
+                              inference_model(),
+                              tile_batch=tile_batch)
     return predictor, origin
 
 

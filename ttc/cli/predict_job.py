@@ -77,19 +77,22 @@ def load_config_yaml(path: str) -> dict:
 
 
 def build_model_params(model_path: str | None, rng_seed: int = 0,
-                       allow_random_init: bool = False):
+                       allow_random_init: bool = False,
+                       fp32: bool = False):
     """Load release weights (.npz) or an orbax checkpoint dir.
 
     An explicit but missing --model_path is an error; with no path at
     all, falls back to the bundled release weights, and only
     initializes random parameters when `allow_random_init` — the
     reference always restores a trained graph before predicting
-    (reference: download_and_predict_job.py:1784-1826)."""
+    (reference: download_and_predict_job.py:1784-1826). Inference
+    runs in bf16 by default (drift-gated, see
+    ttc.models.unet.inference_model); fp32=True opts out."""
     import jax
 
-    from ttc.models.unet import TreeCoverNet
+    from ttc.models.unet import TreeCoverNet, inference_model
 
-    model = TreeCoverNet()
+    model = inference_model(fp32)
     if model_path and not os.path.exists(model_path):
         raise FileNotFoundError(f"--model_path {model_path!r} does not "
                                 "exist")
@@ -295,6 +298,9 @@ def main(argv=None):
     parser.add_argument("--allow_random_init", action="store_true",
                         help="permit running without trained weights "
                              "(predictions are meaningless)")
+    parser.add_argument("--fp32", action="store_true",
+                        help="disable the default bf16 inference "
+                             "(drift-gated; see unet.inference_model)")
     parser.add_argument("--sr_path", default=None,
                         help="super-resolution weights (.npz); "
                              "defaults to the bundled release weights")
@@ -344,7 +350,8 @@ def main(argv=None):
         backend = FixtureBackend(hw=fixture_hw)
 
     model, params = build_model_params(
-        args.model_path, allow_random_init=args.allow_random_init)
+        args.model_path, allow_random_init=args.allow_random_init,
+        fp32=args.fp32)
     sr_params = None if args.no_superres else load_sr_params(
         args.sr_path)
     if sr_params is None and not args.no_superres:

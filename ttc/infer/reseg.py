@@ -373,7 +373,7 @@ def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
 
     from ttc.core.config import InferenceConfig
     from ttc.infer.pipeline import TilePredictor
-    from ttc.models.unet import TreeCoverNet
+    from ttc.models.unet import inference_model
 
     def _seam_axis_len(bundle):
         arr = bundle["s2"]
@@ -419,7 +419,7 @@ def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
         out -= (out - 2) % 4
         n_rows = max(2, int(np.ceil((s - out) / out)) + 1)
         cfg = InferenceConfig(tile_px=s, out_size=out, n_rows=n_rows)
-        model_ = model or TreeCoverNet()
+        model_ = model or inference_model()
         predictor = TilePredictor(params, cfg, model_)
 
         def pad_to(a, h_axis):
