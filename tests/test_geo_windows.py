@@ -90,6 +90,7 @@ def test_make_overlapping_windows_matches_reference():
     np.testing.assert_array_equal(got, np.asarray(ref, np.int64))
 
 
+@pytest.mark.slow
 def test_predict_tile_batch_matches_single():
     import jax
 

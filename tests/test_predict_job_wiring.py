@@ -60,6 +60,7 @@ def test_params_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.slow
 def test_main_writes_georeferenced_tif_and_slope(tmp_path):
     """Full CLI main(): DB-driven bbox in the tif transform, dem.npy
     persisted for the change job."""

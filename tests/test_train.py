@@ -122,6 +122,7 @@ def test_augment_batch_shapes():
     assert np.isfinite(xb).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_cpu():
     import __graft_entry__ as ge
 
