@@ -93,3 +93,50 @@ def test_reject_nan_quarters():
     q[2] = 0.0
     valid = reject_nan_quarters(q)
     assert list(valid) == [True, False, False, True]
+
+
+def test_request_budget_matches_reference_formula():
+    """PU ~= (4/3) * T * (H*W/512^2) (reference
+    tof_downloading.py:691-699)."""
+    from ttc.io.acquisition import RequestBudget
+
+    b = RequestBudget()
+    pu = b.charge(12, 512, 512, "s2")
+    assert abs(pu - 16.0) < 1e-9
+    b.charge(1, 256, 256, "dem")
+    assert abs(b.total_pu - (16.0 + 4 / 3 / 4)) < 1e-9
+    assert b.n_requests == 2
+
+
+def test_with_retries_backoff_then_success():
+    from ttc.io.acquisition import with_retries
+
+    calls = {"n": 0}
+    waits = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return 42
+
+    assert with_retries(flaky, max_attempts=4, base_wait=10,
+                        sleep=waits.append) == 42
+    assert calls["n"] == 3
+    assert waits == [10, 20]  # exponential backoff
+
+
+def test_with_retries_exhausts_and_raises():
+    import pytest
+
+    from ttc.io.acquisition import with_retries
+
+    waits = []
+
+    def always_fails():
+        raise IOError("down")
+
+    with pytest.raises(IOError):
+        with_retries(always_fails, max_attempts=3, base_wait=1,
+                     sleep=waits.append)
+    assert waits == [1, 2]

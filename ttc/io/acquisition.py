@@ -14,12 +14,16 @@ Host-side counterpart of the reference's SentinelHub client
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time
 from typing import List, Optional, Protocol, Tuple
 
 import numpy as np
 
 from ttc.core.codecs import to_db
 from ttc.ops.regrid import apply_regrid, regrid_weights
+
+log = logging.getLogger("ttc.acquisition")
 
 DAYS_PER_MONTH = [0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30]
 MONTH_START_DAYS = np.cumsum(DAYS_PER_MONTH)
@@ -495,6 +499,48 @@ function evaluatePixel(samples) {
 """
 
 
+class RequestBudget:
+    """Processing-unit accounting across a job's requests, mirroring
+    the reference's per-request PU prints (reference:
+    tof_downloading.py:691-699): PU ~= (4/3) * T * (H*W / 512^2)."""
+
+    def __init__(self):
+        self.total_pu = 0.0
+        self.n_requests = 0
+
+    def charge(self, n_dates: int, height: int, width: int,
+               label: str = "") -> float:
+        pu = (4.0 / 3.0) * max(int(n_dates), 1) \
+            * (height * width) / (512 * 512)
+        self.total_pu += pu
+        self.n_requests += 1
+        log.info("request %d (%s): %.1f PU (total %.1f over %d "
+                 "requests)", self.n_requests, label or "-", pu,
+                 self.total_pu, self.n_requests)
+        return pu
+
+
+def with_retries(fn, max_attempts: int = 4, base_wait: float = 10.0,
+                 sleep=time.sleep):
+    """Run fn() with exponential backoff on transient failures — the
+    reference's per-tile sleep-and-retry containment
+    (download_and_predict_job.py:2079-2091) applied at the request
+    level. Re-raises after max_attempts."""
+    for attempt in range(max_attempts):
+        try:
+            return fn()
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            if attempt == max_attempts - 1:
+                raise
+            wait = base_wait * (2 ** attempt)
+            log.warning("request failed (attempt %d/%d), retrying in "
+                        "%.0f s", attempt + 1, max_attempts, wait,
+                        exc_info=True)
+            sleep(wait)
+
+
 class SentinelHubBackend:
     """Live SentinelHub acquisition. Requires the `sentinelhub` package
     and credentials — both gated; constructing without them raises a
@@ -502,10 +548,13 @@ class SentinelHubBackend:
     (reference: tof_downloading.py:257-448,527-714,913-1140):
     640 m cloud previews over a 15x bbox for date screening, per-band-
     group Process API requests with darkest-pixel orbit mosaicking,
-    quarterly S1 GRD composites, and download-time DEM slope."""
+    quarterly S1 GRD composites, and download-time DEM slope. Every
+    request runs through retry-with-backoff and processing-unit
+    accounting (tof_downloading.py:691-699)."""
 
     def __init__(self, instance_id: str = "", client_id: str = "",
-                 client_secret: str = "", maxclouds: float = 0.4):
+                 client_secret: str = "", maxclouds: float = 0.4,
+                 max_attempts: int = 4):
         try:
             import sentinelhub  # noqa: F401
         except ImportError as e:
@@ -522,6 +571,8 @@ class SentinelHubBackend:
             cfg.sh_client_secret = client_secret
         self.config = cfg
         self.maxclouds = maxclouds
+        self.max_attempts = max_attempts
+        self.budget = RequestBudget()
 
     def _process_request(self, evalscript, bbox, time_interval, size,
                          collection_name="SENTINEL2_L2A",
@@ -549,7 +600,11 @@ class SentinelHubBackend:
             bbox=BBox(list(bbox), crs=CRS.WGS84),
             size=size,
             config=self.config)
-        return np.asarray(request.get_data())
+        data = np.asarray(with_retries(request.get_data,
+                                       self.max_attempts))
+        self.budget.charge(data.shape[0] if data.ndim == 4 else 1,
+                           size[1], size[0], collection_name)
+        return data
 
     def fetch(self, tile_x: int, tile_y: int, bbox, year: int) -> RawTile:
         """bbox: (min_lon, min_lat, max_lon, max_lat) of the 6x6 km
