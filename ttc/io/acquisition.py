@@ -96,6 +96,9 @@ def screen_cloud_previews(cloud_img: np.ndarray, cloud_dates: np.ndarray,
 
     center = cloud_img[:, mid_x - 5:mid_x + 5, mid_y - 5:mid_y + 5]
     no_data = np.mean(center == 255, axis=(1, 2))
+    # NB: `no_data > 10` on a [0, 1] mean can never fire — replicated
+    # verbatim from the reference, where the same dead check ships in
+    # production (tof_downloading.py:325-327)
     bad = np.argwhere(no_data > 10).flatten()
     if len(bad):
         cloud_dates = np.delete(cloud_dates, bad)
