@@ -87,29 +87,46 @@ def _build_predictor(tile_batch: int = 1):
     return predictor, origin
 
 
-def run_full(n_tiles: int = 3, warmup: bool = True):
-    """Serial raw -> raster per-tile timing, reference-equivalent."""
+def run_full(n_tiles: int = 3, warmup: bool = True,
+             pipelined: bool = True):
+    """Raw -> raster per-tile timing, reference-equivalent work.
+
+    pipelined=True overlaps the next tile's host-side prepare (raw
+    upload + ARD dispatch) with the current tile's device predict —
+    the shipped predict_job --pipelined behavior. pipelined=False is
+    the strictly serial reference loop."""
+    import concurrent.futures as cf
+
     from ttc.preprocess.ard import process_tile, smooth_tile
 
     predictor, origin = _build_predictor()
     raws = [_raw_tile(s) for s in range(n_tiles + 1)]
 
-    def one(raw):
-        tile = process_tile(raw)
-        sm = smooth_tile(tile)
+    def prep(raw):
+        return smooth_tile(process_tile(raw))
+
+    def predict(sm):
         raster = predictor(sm.s2, sm.s1, sm.dem, sm.s2_median,
                            sm.s1_median, sm.clear_count)
         return np.asarray(raster)  # host readback = sync
 
     if warmup:
-        one(raws[0])  # compile all stages
+        predict(prep(raws[0]))  # compile all stages
 
-    times = []
-    for raw in raws[1:]:
+    if pipelined:
         t0 = time.perf_counter()
-        one(raw)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.mean(times))
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(prep, raw) for raw in raws[1:]]
+            for fut in futs:
+                predict(fut.result())
+        dt = (time.perf_counter() - t0) / n_tiles
+    else:
+        times = []
+        for raw in raws[1:]:
+            t0 = time.perf_counter()
+            predict(prep(raw))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.mean(times))
     return 1.0 / dt, dt, origin
 
 
@@ -151,6 +168,10 @@ def run_infer_only(n_iters: int = 8, warmup: int = 2,
 def main():
     import sys
 
+    from ttc.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if "--cpu-baseline" in sys.argv:
         import jax
 
@@ -179,6 +200,7 @@ def main():
         return
 
     tps, dt, origin = run_full()
+    stps, sdt, _ = run_full(warmup=False, pipelined=False)
     itps, _, _ = run_infer_only(n_iters=4)
 
     vs_baseline = None
@@ -199,6 +221,8 @@ def main():
         "submetrics": {
             "infer_only_tiles_per_sec": round(itps, 4),
             "full_seconds_per_tile": round(dt, 3),
+            "serial_tiles_per_sec": round(stps, 4),
+            "serial_seconds_per_tile": round(sdt, 3),
             "weights": origin,
             "cpu_baseline_note": "BASELINE_LOCAL.json records the same "
             "JAX program on 1 CPU core (the reference's TF1+sklearn "

@@ -209,6 +209,9 @@ def main(argv=None):
     parser.add_argument("--out_dir", default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from ttc.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     run_change(args.local_path, args.x, args.y, args.start_year,
                args.end_year, args.out_dir)
 

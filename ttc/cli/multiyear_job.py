@@ -208,8 +208,8 @@ def run_multiyear(x: int, y: int, start_year: int, end_year: int,
 
                     from ttc.models.superres import superresolve_tile
 
-                    tile.s2 = np.asarray(superresolve_tile(
-                        sr_params, jnp.asarray(tile.s2)))
+                    tile.s2 = superresolve_tile(
+                        sr_params, jnp.asarray(tile.s2))
                 sm = smooth_tile(tile)
             rasters[year] = finish_tile(
                 x, y, year, tile, sm, store, predictor, bbox=bbox,
@@ -245,6 +245,9 @@ def main(argv=None):
     parser.add_argument("--allow_random_init", action="store_true")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from ttc.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     sr_params = None if args.no_superres else load_sr_params(None)
 
     cfg_kwargs = {k: getattr(args, k) for k in

@@ -147,8 +147,9 @@ def prepare_tile(x: int, y: int, year: int, backend, store: TileStore,
 
             from ttc.models.superres import superresolve_tile
 
-            tile.s2 = np.asarray(
-                superresolve_tile(sr_params, jnp.asarray(tile.s2)))
+            # stays on device — smooth_tile consumes it there
+            tile.s2 = superresolve_tile(sr_params,
+                                        jnp.asarray(tile.s2))
         sm = smooth_tile(tile)
     return tile, sm
 
@@ -162,13 +163,15 @@ def finish_tile(x: int, y: int, year: int, tile, sm, store: TileStore,
 
     # change-detection artifacts: NDMI stack, dates, slope raster
     # (reference :1161-1164; slope zipped into {year}/change via
-    # io.py:153-201)
-    nd = ndmi_to_int16(np.asarray(ndmi(tile.s2)))
+    # io.py:153-201). Quantize to int16 on device, download once.
+    import jax.numpy as jnp
+
+    nd = np.asarray(ndmi_to_int16(ndmi(jnp.asarray(tile.s2))))
     ard_dir = os.path.join(store.tile_dir(x, y))
     save_array(os.path.join(ard_dir, "ard_ndmi.h5"), nd)
     np.save(os.path.join(ard_dir, "ard_dates.npy"), tile.dates)
     np.save(os.path.join(ard_dir, "dem.npy"),
-            (tile.dem * 90.0).astype(np.float32))
+            (np.asarray(tile.dem) * 90.0).astype(np.float32))
 
     if save_reseg:
         from ttc.infer.reseg import save_border_strips
@@ -331,6 +334,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from ttc.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg_yaml = load_config_yaml(args.yaml_path)
 
     store = TileStore(args.local_path, bucket=args.s3_bucket)

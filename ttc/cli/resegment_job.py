@@ -213,6 +213,9 @@ def main(argv=None):
                              "only")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from ttc.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     params = model = None
     if not args.no_repredict:

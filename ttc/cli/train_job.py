@@ -64,6 +64,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from ttc.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = ModelConfig(n_epochs=args.epochs, batch_size=args.batch_size)
     # monthly training tensor: (N, 12, 28, 28, 17), already normalized

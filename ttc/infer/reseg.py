@@ -198,7 +198,8 @@ def _edge_slice(arr, edge: str, width: int):
     sl = [slice(None)] * ndim
     sl[axis] = slice(-width, None) if edge in ("east", "south") \
         else slice(0, width)
-    return np.asarray(arr)[tuple(sl)]
+    # slice first (device-side for jax.Arrays), download only the edge
+    return np.asarray(arr[tuple(sl)])
 
 
 def save_border_strips(store, x, y, sm, width: int = 172):
