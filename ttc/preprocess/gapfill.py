@@ -59,17 +59,19 @@ def make_aligned_mosaic(arr, interp):
 
     divisor = jnp.sum(1.0 - interp, axis=0)[..., None]
 
+    # O(T) sufficient statistics: the per-date "sum of other dates over
+    # pixels clear at i" factorizes as clear_i * (S_all - arr_i * M_i)
+    # because the b-mask (interp[b] < 1) does not depend on i — an
+    # exact collapse of the previous O(T^2) accumulation
+    m_all = (interp < 1)[..., None].astype(arr.dtype)   # (T, H, W, 1)
+    s_all = jnp.sum(arr * m_all, axis=0)                # (H, W, C)
+    c_all = jnp.sum(m_all, axis=0)                      # (H, W, 1)
+
     mosaic = jnp.zeros_like(arr[0])
     for i in range(t_total):
-        # cross-date mean of other dates over pixels clear at date i
-        other_sum = jnp.zeros_like(arr[0])
-        other_cnt = jnp.zeros_like(arr[0, ..., :1])
-        for b in range(t_total):
-            if b == i:
-                continue
-            m = (clear[i] & (interp[b] < 1))[..., None].astype(arr.dtype)
-            other_sum = other_sum + arr[b] * m
-            other_cnt = other_cnt + m[..., :1]
+        ci = clear[i][..., None].astype(arr.dtype)
+        other_sum = (s_all - arr[i] * m_all[i]) * ci
+        other_cnt = (c_all - m_all[i]) * ci
         ref_px = (clear[i] & (other_cnt[..., 0] > 0))[..., None]
 
         n_ref = jnp.sum(ref_px)
