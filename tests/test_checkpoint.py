@@ -52,3 +52,16 @@ def test_npz_release_roundtrip(tmp_path):
     back = load_params_npz(p)
     np.testing.assert_array_equal(back["a"]["b"], params["a"]["b"])
     np.testing.assert_array_equal(back["c"], params["c"])
+
+
+def test_async_save_commits_and_roundtrips(tmp_path):
+    from ttc.train.checkpoint import wait_for_checkpoints
+
+    d = str(tmp_path / "ckpt_async")
+    save_checkpoint(d, 7, _params(7), f1=0.91, async_save=True)
+    wait_for_checkpoints()
+    assert latest_step(d) == 7
+    assert best_step(d) == 7
+    back = load_params(d)
+    np.testing.assert_array_equal(back["layer"]["kernel"],
+                                  _params(7)["layer"]["kernel"])

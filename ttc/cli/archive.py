@@ -40,7 +40,8 @@ def main(argv=None):
     parser.add_argument("--bucket", default=None)
     parser.add_argument("--keep", action="store_true")
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    from ttc.utils.logging import setup_logging
+    setup_logging()
 
     store = TileStore(args.local_path, bucket=args.bucket)
     n = 0

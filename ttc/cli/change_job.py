@@ -208,7 +208,8 @@ def main(argv=None):
     parser.add_argument("--end_year", type=int, default=2024)
     parser.add_argument("--out_dir", default=None)
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    from ttc.utils.logging import setup_logging
+    setup_logging()
     from ttc.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -83,7 +83,8 @@ def main(argv=None):
     args, passthrough = parser.parse_known_args(argv)
     if passthrough and passthrough[0] == "--":
         passthrough = passthrough[1:]
-    logging.basicConfig(level=logging.INFO)
+    from ttc.utils.logging import setup_logging
+    setup_logging()
     supervise(args.db_path, args.workers, passthrough,
               args.max_restarts)
 

@@ -244,7 +244,8 @@ def main(argv=None):
     parser.add_argument("--n_rows", type=int, default=None)
     parser.add_argument("--allow_random_init", action="store_true")
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    from ttc.utils.logging import setup_logging
+    setup_logging()
     from ttc.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -333,7 +333,8 @@ def main(argv=None):
                         choices=["fixture", "forest", "sentinelhub"])
     args = parser.parse_args(argv)
 
-    logging.basicConfig(level=logging.INFO)
+    from ttc.utils.logging import setup_logging
+    setup_logging()
     from ttc.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -212,7 +212,8 @@ def main(argv=None):
                         help="skip ARD re-prediction, blend rasters "
                              "only")
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    from ttc.utils.logging import setup_logging
+    setup_logging()
     from ttc.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -27,6 +27,7 @@ from ttc.train.checkpoint import (
     latest_step,
     load_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from ttc.train.data import augment_batch, equibatch
 from ttc.train.loop import (
@@ -63,7 +64,8 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    from ttc.utils.logging import setup_logging
+    setup_logging()
     from ttc.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -141,11 +143,15 @@ def main(argv=None):
                  ev["f1"], ev["threshold"], ev["error"])
 
         if ev["f1"] > best_f1 - 0.02:
+            # async: the write commits on a background thread while the
+            # next epoch's device work proceeds
             save_checkpoint(args.checkpoint_dir, epoch,
                             eval_params, opt_state=state.opt_state,
-                            metrics=metrics, f1=ev["f1"])
+                            metrics=metrics, f1=ev["f1"],
+                            async_save=True)
             best_f1 = max(best_f1, ev["f1"])
 
+    wait_for_checkpoints()
     save_checkpoint(args.checkpoint_dir, cfg.n_epochs, state.params,
                     opt_state=state.opt_state, metrics=metrics)
 

@@ -17,20 +17,47 @@ def _mgr(directory: str):
     return ocp.CheckpointManager(os.path.abspath(directory))
 
 
+# Long-lived async checkpointer: saves run on a background thread so
+# the training loop's device work overlaps the host serialization
+# (tf.train.Saver in the reference blocks the epoch loop).
+_ASYNC: ocp.AsyncCheckpointer | None = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every pending async save has committed (call before
+    reading a checkpoint back or exiting the process)."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
 def save_checkpoint(directory: str, step: int, params, opt_state=None,
                     swa_state=None, metrics: np.ndarray | None = None,
-                    f1: float | None = None):
+                    f1: float | None = None, async_save: bool = False):
     """Save params (+optimizer/swa) under {directory}/{step}; tag the
-    step dir with the f1 like the reference's naming."""
+    step dir with the f1 like the reference's naming. async_save=True
+    returns as soon as device arrays are snapshotted and commits the
+    write on a background thread (overlap with the next epoch); the
+    sidecar files are written synchronously either way."""
     os.makedirs(directory, exist_ok=True)
     payload = {"params": params}
     if opt_state is not None:
         payload["opt_state"] = opt_state
     if swa_state is not None:
         payload["swa_state"] = swa_state
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(os.path.abspath(directory),
-                                f"step_{step}"), payload)
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    if async_save:
+        ckptr = _async_ckptr()
+        ckptr.save(path, args=ocp.args.StandardSave(payload))
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, payload)
     if metrics is not None:
         np.save(os.path.join(directory, "metrics.npy"), metrics)
     if f1 is not None:

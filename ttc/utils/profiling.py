@@ -68,7 +68,11 @@ class StageTimer:
         return "\n".join(lines)
 
     def log_report(self):
-        log.info(self.report())
+        stages = {name: round(total, 3)
+                  for name, total in self.totals.items()}
+        log.info(self.report(), extra={"ttc": {
+            "timer": self.name, "stages_s": stages,
+            "counts": dict(self.counts)}})
 
 
 def timed(fn):
