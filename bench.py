@@ -88,18 +88,22 @@ def _build_predictor(tile_batch: int = 1):
 
 
 def run_full(n_tiles: int = 3, warmup: bool = True,
-             pipelined: bool = True):
+             pipelined: bool = True, predictor=None):
     """Raw -> raster per-tile timing, reference-equivalent work.
 
     pipelined=True overlaps the next tile's host-side prepare (raw
     upload + ARD dispatch) with the current tile's device predict —
     the shipped predict_job --pipelined behavior. pipelined=False is
-    the strictly serial reference loop."""
+    the strictly serial reference loop. Pass `predictor` to reuse an
+    already-warm predictor (so warm timings don't charge recompiles)."""
     import concurrent.futures as cf
 
     from ttc.preprocess.ard import process_tile, smooth_tile
 
-    predictor, origin = _build_predictor()
+    if predictor is None:
+        predictor, origin = _build_predictor()
+    else:
+        predictor, origin = predictor
     raws = [_raw_tile(s) for s in range(n_tiles + 1)]
 
     def prep(raw):
@@ -199,8 +203,12 @@ def main():
             "weights": origin}))
         return
 
-    tps, dt, origin = run_full()
-    stps, sdt, _ = run_full(warmup=False, pipelined=False)
+    shared = _build_predictor()
+    tps, dt, origin = run_full(predictor=shared)
+    # reuse the warm predictor: serial timing measures the loop, not a
+    # fresh process's recompile
+    stps, sdt, _ = run_full(warmup=False, pipelined=False,
+                            predictor=shared)
     itps, _, _ = run_infer_only(n_iters=4)
 
     vs_baseline = None

@@ -72,30 +72,36 @@ def calibrate_image(ard_step, ref_samples, multiplier: float = 1.0):
     return f, m, b, hi, pct
 
 
+@jax.jit
+def _calibrate_stack(ard_f32, samples, multiplier):
+    """Device-side loop over images: one dispatch for the whole stack.
+    lax.map (not vmap) keeps the (grid x samples) ndtr matrix at
+    per-image size — sequential images are free, the per-image op is
+    already wide enough to saturate the chip."""
+    def body(args):
+        a, s = args
+        return calibrate_image(a, s, multiplier)
+
+    return jax.lax.map(body, (ard_f32, samples))
+
+
 def make_all_kde(ard, stable, maxpx: int = 36000,
                  multiplier: float = 1.0, seed: int = 0):
     """(T, H, W) int16 NDMI stack + (H, W) stable mask ->
     (kde5, kde10, kde25, kde2.5, percentiles) stacks
-    (reference make_all_kde :271-297)."""
+    (reference make_all_kde :271-297). The reference evaluates scipy
+    gaussian_kde per image in a Python loop; here the whole stack is
+    calibrated in one jitted device call."""
     ard = np.asarray(ard)
-    t = ard.shape[0]
     stable_px = ard[:, stable]                       # (T, n_stable)
     n = stable_px.shape[1]
     rng = np.random.default_rng(seed)
     sample_idx = rng.integers(0, n, min(maxpx, n))
     samples = stable_px[:, sample_idx]               # (T, S)
 
-    f = np.zeros_like(ard, dtype=bool)
-    m = np.zeros_like(ard, dtype=bool)
-    b = np.zeros_like(ard, dtype=bool)
-    h = np.zeros_like(ard, dtype=bool)
-    pct = np.zeros_like(ard, dtype=np.float32)
-    calib = jax.jit(calibrate_image, static_argnames=())
-    for i in range(t):
-        fi, mi, bi_, hi, pi = calib(jnp.asarray(ard[i], jnp.float32),
-                                    jnp.asarray(samples[i]),
-                                    multiplier)
-        f[i], m[i], b[i], h[i] = (np.asarray(fi), np.asarray(mi),
-                                  np.asarray(bi_), np.asarray(hi))
-        pct[i] = np.asarray(pi)
-    return f, m, b, h, pct
+    f, m, b, h, pct = _calibrate_stack(
+        jnp.asarray(ard, jnp.float32),
+        jnp.asarray(samples, jnp.float32),
+        jnp.float32(multiplier))
+    return (np.asarray(f), np.asarray(m), np.asarray(b),
+            np.asarray(h), np.asarray(pct))
