@@ -13,6 +13,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+# Match tests/conftest.py exactly: the virtual 8-device CPU backend
+# partitions fp32 reductions differently from a 1-device backend, so
+# the golden must be generated under the same configuration the tests
+# run with.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -7,11 +7,15 @@ dates we return kill masks for `DateStack.drop`.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from ttc.core.datacube import masked_median
 
 
+@partial(jax.jit, static_argnames=("thresh",))
 def id_missing_px(s2, valid, thresh: int = 11):
     """Per-date flag: too many missing (==0 or >=1) pixels.
 
@@ -26,6 +30,7 @@ def id_missing_px(s2, valid, thresh: int = 11):
     return jnp.logical_and(px_bad >= limit, valid)
 
 
+@jax.jit
 def fill_extremes_with_median(arr, valid):
     """Replace 0-valued and >=1-valued pixels with the temporal median of
     valid dates (reference: download_and_predict_job.py:1039-1047)."""
@@ -34,6 +39,7 @@ def fill_extremes_with_median(arr, valid):
     return jnp.where(bad, med[None], arr)
 
 
+@jax.jit
 def fill_nan_with_median(arr, valid):
     """Replace NaNs with the temporal median (median of non-NaN valid
     dates; residual NaNs become 0)."""
@@ -52,6 +58,7 @@ def fill_nan_with_median(arr, valid):
     return jnp.where(finite, arr, med[None])
 
 
+@partial(jax.jit, static_argnames=("limit",))
 def id_nan_dates(arr, valid, limit: int = 0):
     """Kill mask for dates with more than `limit` NaN pixels."""
     n_nan = jnp.sum(jnp.logical_not(jnp.isfinite(arr)), axis=(1, 2, 3))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,6 +116,36 @@ def _take_dates(to_rm, dates, *arrays):
                                   for a in arrays)
 
 
+@jax.jit
+def _ingest(s2_10, s2_20, s1, dem):
+    """Decode + align + assemble the raw stacks in one device dispatch:
+    uint16 decode, S1 dB conversion, DEM median filter, 20 m band
+    upsample + concat (reference: :735-783)."""
+    if s2_10.dtype == jnp.uint16:
+        s2_10 = from_uint16(s2_10)
+        s2_20 = from_uint16(s2_20)
+    else:
+        s2_10 = s2_10.astype(jnp.float32)
+        s2_20 = s2_20.astype(jnp.float32)
+    if s1.dtype == jnp.uint16:
+        s1 = to_db(from_uint16(s1), 22)
+    else:
+        s1 = s1.astype(jnp.float32)
+    dem = median_filter(dem.astype(jnp.float32), 5)
+    return assemble_s2(s2_10, s2_20), s1, dem
+
+
+@jax.jit
+def _snow_screen(sentinel2):
+    """Persistent-snow map: 1 only where >=70% of dates are snowy and
+    not within 2 px of a snow-free area (reference :821-822); plus the
+    per-date snow fraction for the removal decision."""
+    snow_mask = (snow_filter(sentinel2) > 0).astype(jnp.float32)
+    snow = 1.0 - dilate(
+        (jnp.mean(snow_mask, axis=0) < 0.7).astype(jnp.float32), 2)
+    return snow, jnp.mean(snow_mask, axis=(1, 2))
+
+
 def process_tile(raw: RawTile, make_shadow: bool = True,
                  max_mask_rounds: int = 3) -> ProcessedTile:
     """Raw -> masked/gap-filled datacube. One upload of the uint16
@@ -132,24 +163,10 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
                                        height))
     dem_h = _adjust_shape(np.asarray(raw.dem), width, height)
 
-    s2_10 = jnp.asarray(s2_10_h)
-    s2_20 = jnp.asarray(raw.s2_20)
-    if s2_10.dtype == jnp.uint16:
-        s2_10 = from_uint16(s2_10)
-        s2_20 = from_uint16(s2_20)
-    else:
-        s2_10 = s2_10.astype(jnp.float32)
-        s2_20 = s2_20.astype(jnp.float32)
-
-    s1 = jnp.asarray(s1_h)
-    if s1.dtype == jnp.uint16:
-        s1 = to_db(from_uint16(s1), 22)
-    else:
-        s1 = s1.astype(jnp.float32)
-
-    dem = median_filter(jnp.asarray(dem_h, jnp.float32), 5)
-
-    sentinel2 = assemble_s2(s2_10, s2_20)
+    sentinel2, s1, dem = _ingest(jnp.asarray(s2_10_h),
+                                 jnp.asarray(raw.s2_20),
+                                 jnp.asarray(s1_h),
+                                 jnp.asarray(dem_h))
 
     # remove dates with >50% missing pixels (reference: :786-794)
     kill = np.asarray(id_missing_px(
@@ -159,12 +176,8 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
                                        sentinel2)
 
     # snow screening (reference: :796-832; removal defunct unless >10)
-    snow_mask = (snow_filter(sentinel2) > 0).astype(jnp.float32)
-    # persistent-snow map: 1 only where >=70% of dates are snowy and
-    # not within 2 px of a snow-free area (reference :821-822)
-    snow = 1.0 - dilate(
-        (jnp.mean(snow_mask, axis=0) < 0.7).astype(jnp.float32), 2)
-    mean_snow = np.asarray(jnp.mean(snow_mask, axis=(1, 2)))
+    snow, mean_snow = _snow_screen(sentinel2)
+    mean_snow = np.asarray(mean_snow)
     to_rm = np.argwhere(mean_snow > 0.25).flatten()
     if len(to_rm) > 10:
         dates, sentinel2 = _take_dates(to_rm, dates, sentinel2)
@@ -204,29 +217,16 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
                          dem / 90.0, cloudshad, snow)
 
 
-def make_and_smooth_indices(s2, dates: np.ndarray, weights=None):
-    """Indices on the raw dates -> 24-step regrid -> Whittaker -> 12
-    monthly (reference: :998-1028). Device in, device out."""
-    if weights is None:
-        weights, _ = regrid_weights(dates)
-    raw_idx = idx_ops.all_indices(jnp.asarray(s2))
-    regridded = apply_regrid(raw_idx, weights)
+@jax.jit
+def _smooth_device(s2, s1, interp, weights):
+    """Device body of smooth_tile: one dispatch for the whole
+    regrid/smooth/median program."""
+    raw_idx = idx_ops.all_indices(s2)
+    regridded_idx = apply_regrid(raw_idx, weights)
     sm = WhittakerSmoother(lmbd=100.0, size=24, outsize=12)
-    return sm.interpolate_array(regridded)
-
-
-def smooth_tile(tile: ProcessedTile) -> SmoothedTile:
-    """(T, H, W, 10) irregular -> (12, H, W, 14) monthly smoothed
-    (reference smooth_large_tile :1057-1096), plus the raw medians and
-    clear-count map consumed by the predictor. All outputs stay on
-    device."""
-    s2, dates = jnp.asarray(tile.s2), tile.dates
-
-    weights, _ = regrid_weights(dates)
-    indices_monthly = make_and_smooth_indices(s2, dates, weights)
+    indices_monthly = sm.interpolate_array(regridded_idx)
 
     regridded = apply_regrid(s2, weights)
-    sm = WhittakerSmoother(lmbd=100.0, size=24, outsize=12)
     bands_monthly = sm.interpolate_array(regridded)
 
     out = jnp.concatenate([bands_monthly, indices_monthly], axis=-1)
@@ -241,11 +241,21 @@ def smooth_tile(tile: ProcessedTile) -> SmoothedTile:
         jnp.median(idx_ops.grndvi(s2), axis=0),
     ], axis=-1)
     s2_median = jnp.concatenate([med_bands, med_idx], axis=-1)
-    s1_median = jnp.median(jnp.asarray(tile.s1), axis=0)
-    clear_count = jnp.sum(jnp.asarray(tile.interp) < 0.33,
-                          axis=0).astype(jnp.float32)
+    s1_median = jnp.median(s1, axis=0)
+    clear_count = jnp.sum(interp < 0.33, axis=0).astype(jnp.float32)
+    return (out.astype(jnp.float32), s2_median.astype(jnp.float32),
+            s1_median.astype(jnp.float32), clear_count)
 
-    return SmoothedTile(out.astype(jnp.float32), dates, tile.interp,
-                        tile.s1, tile.dem,
-                        s2_median.astype(jnp.float32),
-                        s1_median.astype(jnp.float32), clear_count)
+
+def smooth_tile(tile: ProcessedTile) -> SmoothedTile:
+    """(T, H, W, 10) irregular -> (12, H, W, 14) monthly smoothed
+    (reference smooth_large_tile :1057-1096), plus the raw medians and
+    clear-count map consumed by the predictor. All outputs stay on
+    device."""
+    s2, dates = jnp.asarray(tile.s2), tile.dates
+    weights, _ = regrid_weights(dates)
+    out, s2_median, s1_median, clear_count = _smooth_device(
+        s2, jnp.asarray(tile.s1), jnp.asarray(tile.interp),
+        jnp.asarray(weights))
+    return SmoothedTile(out, dates, tile.interp, tile.s1, tile.dem,
+                        s2_median, s1_median, clear_count)

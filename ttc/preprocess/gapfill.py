@@ -14,6 +14,8 @@ rather than internal equality (SURVEY.md "sklearn-in-the-loop").
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -22,7 +24,12 @@ from ttc.preprocess.clouds import EPS, ndwi, snow_filter
 
 N_ALIGN_FEATURES = 11  # 10 bands + snow probability
 
+# Stage boundaries are jitted: on backends with per-op dispatch latency
+# (the axon tunnel) eager execution of these many-op stages costs
+# seconds of round-trips even though device time is milliseconds.
 
+
+@partial(jax.jit, static_argnames=("feather_px", "closing"))
 def interp_weights(cloud_mask, feather_px: float = 12.0,
                    closing: int = 15):
     """Soft interpolation weights from a binary cloud/shadow mask:
@@ -46,6 +53,7 @@ def water_mask_morph(arr):
     return dilate(erode(wm.astype(jnp.float32), 2), 5)
 
 
+@jax.jit
 def make_aligned_mosaic(arr, interp):
     """Cloud-free reference composite (reference :578-699).
 
@@ -221,6 +229,7 @@ def _masked_percentile(x, keep, pct):
     return srt[idx]
 
 
+@jax.jit
 def remove_cloud_and_shadows(tiles, cloud_shadow, pfcps):
     """Full gap-fill (reference :888-973): feathered weights -> aligned
     mosaic -> per-date aligned blend. Returns
