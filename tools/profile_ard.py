@@ -10,6 +10,10 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from ttc.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax.numpy as jnp
 
     from bench import _raw_tile

@@ -127,6 +127,7 @@ def backfill_year(raws: dict[int, RawTile], year: int,
                                       side="right") - 1)
 
     add_s2_10, add_s2_20, add_dates, add_clouds = [], [], [], []
+    add_cloudiness = []
     for month in range(12):
         if month in have_months:
             continue
@@ -144,16 +145,36 @@ def backfill_year(raws: dict[int, RawTile], year: int,
             add_s2_10.append(r.s2_10[pick])
             add_s2_20.append(r.s2_20[pick])
             add_dates.append(int(doy[pick]))
+            add_cloudiness.append(float(cloud.min()))
             add_clouds.append(r.clouds[pick]
                               if r.clouds is not None else None)
             break
 
     if not add_dates:
         return base
+    # Over-budget: drop the CLOUDIEST backfilled dates (never the target
+    # year's own), not the chronological tail — tail truncation would
+    # silently drop Oct-Dec and seasonally bias the monthly ARD. The
+    # reference thins per-month by cloud cover (cloud_removal.py:
+    # 1796-1860).
+    n_over = len(base.s2_dates) + len(add_dates) - max_dates
+    if n_over > 0:
+        keep_add = np.argsort(np.asarray(add_cloudiness),
+                              kind="stable")[:len(add_dates) - n_over]
+        keep_add = np.sort(keep_add)
+        dropped = sorted(int(add_dates[i]) for i in range(len(add_dates))
+                         if i not in set(keep_add.tolist()))
+        log.info("year %d: over max_dates=%d, dropped %d cloudiest "
+                 "backfilled dates (doy %s)", year, max_dates,
+                 n_over, dropped)
+        add_s2_10 = [add_s2_10[i] for i in keep_add]
+        add_s2_20 = [add_s2_20[i] for i in keep_add]
+        add_clouds = [add_clouds[i] for i in keep_add]
+        add_dates = [add_dates[i] for i in keep_add]
     out = copy.copy(base)
     dates = np.concatenate([np.asarray(base.s2_dates) % 365,
                             np.asarray(add_dates)])
-    order = np.argsort(dates, kind="stable")[:max_dates]
+    order = np.argsort(dates, kind="stable")
     out.s2_dates = dates[order]
     out.s2_10 = np.concatenate(
         [base.s2_10, np.stack(add_s2_10)])[order]

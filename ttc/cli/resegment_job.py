@@ -122,7 +122,10 @@ def run_pair(local_path: str, x: int, y: int, direction: str = "x",
 
     # accept only when the repair did not make the seam worse
     # (reference: resegment_tiles_wide.py:1763-1799 — smooth_diff
-    # must beat diff + 20)
+    # must beat diff + 20; a NaN pre-repair diff maps to 100 so an
+    # all-nodata seam still accepts repairs with diff_after < 120)
+    if np.isnan(diff_before):
+        diff_before = 100.0
     diff_after = seam_diff(l2, r2)
     if not (np.isnan(diff_after) or diff_after < diff_before + 20):
         log.info("pair (%s,%s)-(%s,%s): repair rejected "

@@ -337,12 +337,15 @@ def update_border_strips(store, left_xy, right_xy, aligned_s2,
     # the aligned strip covers the innermost `half` px of each stored
     # bundle — patch in place (near-seam slice first for east/south)
     seam_axis = 1 if direction == "y" else 2
-    for (x, y), edge, arr in ((left_xy, edges[0], la),
-                              (right_xy, edges[1], ra)):
-        path = os.path.join(store.tile_dir(x, y), "reseg",
-                            f"{edge}_s2.h5")
-        if not os.path.exists(path):
-            return False
+    updates = ((left_xy, edges[0], la), (right_xy, edges[1], ra))
+    paths = [os.path.join(store.tile_dir(x, y), "reseg",
+                          f"{edge}_s2.h5")
+             for (x, y), edge, _ in updates]
+    # both-or-neither: writing only the left bundle would leave a
+    # partial, seam-inconsistent patch for later passes
+    if not all(os.path.exists(p) for p in paths):
+        return False
+    for path, (_, edge, arr) in zip(paths, updates):
         stored = load_array(path).astype(np.float32)
         sl = [slice(None)] * stored.ndim
         sl[seam_axis] = slice(-arr.shape[seam_axis], None) \

@@ -123,9 +123,11 @@ def _ingest(s2_10, s2_20, s1, dem):
     upsample + concat (reference: :735-783)."""
     if s2_10.dtype == jnp.uint16:
         s2_10 = from_uint16(s2_10)
-        s2_20 = from_uint16(s2_20)
     else:
         s2_10 = s2_10.astype(jnp.float32)
+    if s2_20.dtype == jnp.uint16:
+        s2_20 = from_uint16(s2_20)
+    else:
         s2_20 = s2_20.astype(jnp.float32)
     if s1.dtype == jnp.uint16:
         s1 = to_db(from_uint16(s1), 22)

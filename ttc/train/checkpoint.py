@@ -113,6 +113,13 @@ def best_step(directory: str) -> int | None:
     for name in os.listdir(directory):
         m = re.match(r"step_(\d+)\.f1$", name)
         if m:
+            # the .f1 sidecar is written synchronously while an async
+            # orbax commit may still be in flight (or crashed): only
+            # consider steps whose checkpoint dir actually exists, so
+            # the production load path never picks an orphaned step
+            if not os.path.isdir(
+                    os.path.join(directory, f"step_{m.group(1)}")):
+                continue
             with open(os.path.join(directory, name)) as f:
                 f1 = float(f.read().strip())
             if best is None or f1 > best[1]:
