@@ -77,10 +77,13 @@ class DateStack:
 def masked_median(data, valid, axis: int = 0):
     """Median over `axis` counting only slots where valid[t].
 
-    Implemented by sorting with invalid entries pushed to +inf and
-    gathering the middle elements of the valid prefix. O(T log T) per
-    pixel, fully vectorized.
+    Invalid entries are pushed to +inf, a min/max sorting network
+    orders the (small, static) axis without an XLA sort/relayout, and
+    the two middle elements of the valid prefix are selected by
+    one-hot sum (the valid count is a traced scalar).
     """
+    from ttc.ops.sortnet import sort_axis0
+
     valid = valid.astype(bool)
     t = data.shape[axis]
     big = jnp.asarray(jnp.finfo(data.dtype).max, data.dtype)
@@ -88,12 +91,15 @@ def masked_median(data, valid, axis: int = 0):
     shape[axis] = t
     vmask = valid.reshape(shape)
     filled = jnp.where(vmask, data, big)
-    srt = jnp.sort(filled, axis=axis)
+    srt = sort_axis0(jnp.moveaxis(filled, axis, 0))
     n = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
     lo = (n - 1) // 2
     hi = n // 2
-    lo_v = jnp.take(srt, lo, axis=axis)
-    hi_v = jnp.take(srt, hi, axis=axis)
+    lo_v = jnp.zeros_like(srt[0])
+    hi_v = jnp.zeros_like(srt[0])
+    for i in range(t):
+        lo_v = lo_v + jnp.where(lo == i, srt[i], 0.0)
+        hi_v = hi_v + jnp.where(hi == i, srt[i], 0.0)
     return 0.5 * (lo_v + hi_v)
 
 

@@ -34,9 +34,12 @@ from ttc.preprocess.masks import bright_surface_weight
 def quarterly_medians(monthly):
     """(12, H, W, C) -> (4, H, W, C) median of each 3-month group
     (reference: download_and_predict_job.py:1274-1283)."""
+    from ttc.ops.sortnet import median_axis0
+
     t, h, w, c = monthly.shape
     assert t == 12
-    return jnp.median(monthly.reshape(4, 3, h, w, c), axis=1)
+    return median_axis0(
+        jnp.moveaxis(monthly.reshape(4, 3, h, w, c), 1, 0))
 
 
 def clear_count_mask(clear_window, out_size: int):

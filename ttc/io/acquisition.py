@@ -290,8 +290,13 @@ class RawTile:
     s2_20: np.ndarray          # (T, H/2, W/2, 6) uint16
     s2_dates: np.ndarray       # (T,) int day-of-year
     clouds: np.ndarray         # (T, h, w) float [0,1] preview probs
-    s1: np.ndarray             # (12, H, W, 2) float32 monthly dB [0,1]
-    s1_dates: np.ndarray       # (12,) int
+    s1: np.ndarray             # preferred wire format: (4, H, W, 2)
+                               # uint16 LINEAR quarterly composites
+                               # (dB + monthly expansion happen on
+                               # device, ttc.preprocess.ard._ingest);
+                               # legacy (12, H, W, 2) float32 monthly
+                               # dB is still accepted
+    s1_dates: np.ndarray       # (4,) quarter day-of-year (legacy: 12)
     dem: np.ndarray            # (H, W) float32 SLOPE in degrees — the
                                # reference computes slope at download
                                # time (tof_downloading.py:451-495) and
@@ -352,7 +357,6 @@ class FixtureBackend:
         q_dates = np.array([45, 136, 227, 318])
         s1_lin = np.clip(
             rng.gamma(4.0, 0.02, (4, hw, hw, 2)), 1e-4, 1.0)
-        s1 = s1_quarterly_to_monthly(to_db(s1_lin, 22), q_dates)
 
         # synthetic elevation -> slope degrees, like the reference's
         # download-time calcSlope (10 m pixels, min slope 0.02)
@@ -371,8 +375,8 @@ class FixtureBackend:
                 s2[:, ::2, ::2, 4:]),
             s2_dates=dates,
             clouds=clouds_prev / 100.0,
-            s1=s1.astype(np.float32),
-            s1_dates=np.arange(15, 360, 30),
+            s1=to_int16_strict(s1_lin),
+            s1_dates=q_dates,
             dem=dem,
         )
 
@@ -708,8 +712,8 @@ class SentinelHubBackend:
             raise RuntimeError("no Sentinel-1 imagery found across the "
                                "orbit/year fallback ladder")
         s1_lin = np.clip(np.nan_to_num(s1_q, nan=0.0), 1e-5, 1.0)
-        s1 = s1_quarterly_to_monthly(
-            np.asarray(to_db(s1_lin, 22)), q_dates)
+        # quarterly uint16 linear on the wire; dB conversion and the
+        # 12-step monthly expansion happen on device (_ingest)
 
         # 4. DEM -> slope at download time (reference :451-495)
         import jax.numpy as jnp
@@ -728,8 +732,8 @@ class SentinelHubBackend:
             s2_20=s2_20.astype(np.uint16),
             s2_dates=np.asarray(dates),
             clouds=cloud_img,
-            s1=s1.astype(np.float32),
-            s1_dates=np.arange(15, 360, 30),
+            s1=to_int16_strict(s1_lin),
+            s1_dates=q_dates,
             dem=slope,
             cirrus=cirrus,
         )

@@ -22,11 +22,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ttc.core.codecs import to_db
 from ttc.io.acquisition import (
     FixtureBackend,
     RawTile,
-    s1_quarterly_to_monthly,
     to_int16_strict,
 )
 
@@ -153,7 +151,6 @@ class ForestFixtureBackend(FixtureBackend):
         s1_lin = np.clip(
             mean_lin * rng.gamma(8.0, 1 / 8.0, (4, hw, hw, 2)),
             1e-4, 1.0).astype(np.float32)
-        s1 = s1_quarterly_to_monthly(to_db(s1_lin, 22), q_dates)
 
         import jax.numpy as jnp
 
@@ -169,7 +166,7 @@ class ForestFixtureBackend(FixtureBackend):
             s2_20=to_int16_strict(s2[:, ::2, ::2, 4:]),
             s2_dates=dates,
             clouds=clouds_prev / 100.0,
-            s1=s1.astype(np.float32),
-            s1_dates=np.arange(15, 360, 30),
+            s1=to_int16_strict(s1_lin),
+            s1_dates=q_dates,
             dem=dem,
         )

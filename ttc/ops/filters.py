@@ -36,8 +36,10 @@ def _window_stack(x, size: int, mode: str = "reflect"):
 def median_filter(x, size: int = 5):
     """Square-window median over the last two axes (scipy 'reflect'
     border)."""
+    from ttc.ops.sortnet import median_axis0
+
     stack = _window_stack(x, size, "reflect")
-    return jnp.median(stack, axis=0)
+    return median_axis0(stack)
 
 
 def mean_filter(x, size: int):
@@ -46,8 +48,10 @@ def mean_filter(x, size: int):
 
 
 def percentile_filter(x, pct: float, size: int):
+    from ttc.ops.sortnet import quantile_axis0
+
     stack = _window_stack(x, size, "reflect")
-    return jnp.percentile(stack, pct, axis=0)
+    return quantile_axis0(stack, pct)
 
 
 def fspecial_gauss(size: int, sigma: float) -> np.ndarray:

@@ -43,18 +43,12 @@ def fill_extremes_with_median(arr, valid):
 def fill_nan_with_median(arr, valid):
     """Replace NaNs with the temporal median (median of non-NaN valid
     dates; residual NaNs become 0)."""
+    from ttc.ops.sortnet import masked_median_axis0
+
     finite = jnp.isfinite(arr)
     ok = jnp.logical_and(finite, valid[:, None, None, None])
-    big = jnp.asarray(jnp.finfo(arr.dtype).max, arr.dtype)
-    filled = jnp.where(ok, arr, big)
-    srt = jnp.sort(filled, axis=0)
-    n = jnp.maximum(jnp.sum(ok.astype(jnp.int32), axis=0), 1)
-    lo = (n - 1) // 2
-    hi = n // 2
-    lo_v = jnp.take_along_axis(srt, lo[None], axis=0)[0]
-    hi_v = jnp.take_along_axis(srt, hi[None], axis=0)[0]
-    med = 0.5 * (lo_v + hi_v)
-    med = jnp.where(jnp.sum(ok, axis=0) > 0, med, 0.0)
+    med, empty = masked_median_axis0(arr, jnp.logical_not(ok))
+    med = jnp.where(empty, 0.0, med)
     return jnp.where(finite, arr, med[None])
 
 

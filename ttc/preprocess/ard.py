@@ -36,6 +36,7 @@ from ttc.ops.temporal import (
     fill_extremes_with_median,
     id_missing_px,
 )
+from ttc.ops.sortnet import median_axis0
 from ttc.ops.whittaker import WhittakerSmoother
 from ttc.ops.morphology import dilate
 from ttc.preprocess.clouds import identify_clouds_shadows, snow_filter
@@ -117,10 +118,18 @@ def _take_dates(to_rm, dates, *arrays):
 
 
 @jax.jit
-def _ingest(s2_10, s2_20, s1, dem):
+def _ingest(s2_10, s2_20, s1, dem, s1_weights=None):
     """Decode + align + assemble the raw stacks in one device dispatch:
-    uint16 decode, S1 dB conversion, DEM median filter, 20 m band
-    upsample + concat (reference: :735-783)."""
+    uint16 decode, S1 dB conversion + quarterly->monthly expansion,
+    DEM median filter, 20 m band upsample + concat (reference:
+    :735-783, tof_downloading.py:75-95).
+
+    The preferred S1 wire format is (4, H, W, 2) uint16 LINEAR
+    quarterly composites (6 MB instead of 37 MB of monthly float32 —
+    host->device bandwidth is the pipeline's scarcest resource);
+    `s1_weights` is the (24, 4) host-precomputed biweekly regrid
+    matrix for the quarter dates. Legacy monthly stacks (float32 dB or
+    uint16) pass through unchanged."""
     if s2_10.dtype == jnp.uint16:
         s2_10 = from_uint16(s2_10)
     else:
@@ -129,7 +138,13 @@ def _ingest(s2_10, s2_20, s1, dem):
         s2_20 = from_uint16(s2_20)
     else:
         s2_20 = s2_20.astype(jnp.float32)
-    if s1.dtype == jnp.uint16:
+    if s1.shape[0] == 4 and s1.dtype == jnp.uint16 \
+            and s1_weights is not None:
+        db = to_db(from_uint16(s1), 22)
+        s24 = apply_regrid(db, s1_weights)
+        # 24 biweekly -> 12 monthly: median of each pair == pair mean
+        s1 = 0.5 * (s24[0::2] + s24[1::2])
+    elif s1.dtype == jnp.uint16:
         s1 = to_db(from_uint16(s1), 22)
     else:
         s1 = s1.astype(jnp.float32)
@@ -137,22 +152,77 @@ def _ingest(s2_10, s2_20, s1, dem):
     return assemble_s2(s2_10, s2_20), s1, dem
 
 
-@jax.jit
-def _snow_screen(sentinel2):
-    """Persistent-snow map: 1 only where >=70% of dates are snowy and
-    not within 2 px of a snow-free area (reference :821-822); plus the
-    per-date snow fraction for the removal decision."""
+def _snow_screen_body(sentinel2, valid):
+    """Persistent-snow map: 1 only where >=70% of valid dates are snowy
+    and not within 2 px of a snow-free area (reference :821-822); plus
+    the per-date snow fraction for the removal decision."""
     snow_mask = (snow_filter(sentinel2) > 0).astype(jnp.float32)
-    snow = 1.0 - dilate(
-        (jnp.mean(snow_mask, axis=0) < 0.7).astype(jnp.float32), 2)
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    frac_map = jnp.sum(snow_mask * valid[:, None, None].astype(
+        jnp.float32), axis=0) / n
+    snow = 1.0 - dilate((frac_map < 0.7).astype(jnp.float32), 2)
     return snow, jnp.mean(snow_mask, axis=(1, 2))
 
 
+@jax.jit
+def _snow_screen(sentinel2):
+    return _snow_screen_body(sentinel2,
+                             jnp.ones(sentinel2.shape[0], bool))
+
+
+@jax.jit
+def _ard_fused(s2_10, s2_20, s1, dem, valid, s1_weights=None):
+    """The whole masking/gap-fill chain in ONE device dispatch with
+    zero host syncs: ingest -> missing/snow decisions -> extreme fill
+    -> cloud/shadow masking -> feathered weights -> gap fill ->
+    per-date decisions. Dates are fixed-capacity slots gated by
+    `valid`; the host reads back one small (5, T) decision bundle and
+    re-dispatches the SAME compiled program with an updated mask only
+    when dates must be dropped (reference behavior: np.delete + full
+    re-run per stage, src/download_and_predict_job.py:641-995)."""
+    sentinel2, s1db, demf = _ingest(s2_10, s2_20, s1, dem, s1_weights)
+    kill = id_missing_px(sentinel2, valid, thresh=2)
+    snow, snow_frac = _snow_screen_body(sentinel2, valid)
+    sentinel2 = fill_extremes_with_median(sentinel2, valid)
+    cloudshad, fcps = identify_clouds_shadows(sentinel2, demf,
+                                              valid=valid)
+    interp15 = interp_weights(cloudshad, 12.0, closing=15)
+    interp_frac = jnp.mean(interp15 > 0, axis=(1, 2))
+    filled, interp, fully = remove_cloud_and_shadows(
+        sentinel2, cloudshad, fcps, valid=valid)
+    decisions = jnp.stack([
+        kill.astype(jnp.float32),
+        snow_frac.astype(jnp.float32),
+        interp_frac.astype(jnp.float32),
+        fully.astype(jnp.float32),
+        valid.astype(jnp.float32),
+    ])
+    return (jnp.clip(filled, 0, 1), interp, cloudshad, snow, s1db,
+            demf / 90.0, decisions)
+
+
+_BUCKETS = (8, 12, 16, 20, 24)
+
+
+def _bucket_capacity(t: int) -> int:
+    for b in _BUCKETS:
+        if t <= b:
+            return b
+    return t
+
+
 def process_tile(raw: RawTile, make_shadow: bool = True,
-                 max_mask_rounds: int = 3) -> ProcessedTile:
-    """Raw -> masked/gap-filled datacube. One upload of the uint16
-    stacks; intermediates stay on device; only (T,)-sized decisions
-    are read back."""
+                 max_mask_rounds: int = 3,
+                 bucket: bool = True) -> ProcessedTile:
+    """Raw -> masked/gap-filled datacube.
+
+    One upload of the uint16 stacks, ONE fused device dispatch, ONE
+    (5, T) decision readback in the clean-data case. Date removal
+    re-dispatches the same compiled program with an updated validity
+    mask (no recompiles, no shape changes); `bucket` pads the date
+    axis to the next capacity bucket so production tiles share a
+    handful of compiled shapes. Outputs are compacted to valid dates,
+    preserving the original ProcessedTile contract."""
     dates = np.asarray(raw.s2_dates)
 
     # host: spatial alignment on the compact raw dtypes, then upload
@@ -164,59 +234,86 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
     s1_h = np.atleast_3d(_adjust_shape(np.asarray(raw.s1), width,
                                        height))
     dem_h = _adjust_shape(np.asarray(raw.dem), width, height)
+    s2_20_h = np.asarray(raw.s2_20)
+    # quarterly uint16 S1 wire format: precompute the biweekly regrid
+    # weights for the quarter dates (expansion happens on device)
+    s1_w = None
+    if s1_h.shape[0] == 4 and s1_h.dtype == np.uint16:
+        s1_w = jnp.asarray(
+            regrid_weights(np.asarray(raw.s1_dates))[0])
 
-    sentinel2, s1, dem = _ingest(jnp.asarray(s2_10_h),
-                                 jnp.asarray(raw.s2_20),
-                                 jnp.asarray(s1_h),
-                                 jnp.asarray(dem_h))
+    t_raw = s2_10_h.shape[0]
+    cap = _bucket_capacity(t_raw) if bucket and make_shadow else t_raw
+    if cap > t_raw:
+        pad = ((0, cap - t_raw),) + ((0, 0),) * (s2_10_h.ndim - 1)
+        s2_10_h = np.pad(s2_10_h, pad)
+        s2_20_h = np.pad(s2_20_h, ((0, cap - t_raw),) + ((0, 0),) * 3)
+    valid = np.arange(cap) < t_raw
 
-    # remove dates with >50% missing pixels (reference: :786-794)
-    kill = np.asarray(id_missing_px(
-        sentinel2, jnp.ones(sentinel2.shape[0], bool), thresh=2))
-    if kill.any():
-        dates, sentinel2 = _take_dates(np.where(kill)[0], dates,
-                                       sentinel2)
-
-    # snow screening (reference: :796-832; removal defunct unless >10)
-    snow, mean_snow = _snow_screen(sentinel2)
-    mean_snow = np.asarray(mean_snow)
-    to_rm = np.argwhere(mean_snow > 0.25).flatten()
-    if len(to_rm) > 10:
-        dates, sentinel2 = _take_dates(to_rm, dates, sentinel2)
-
-    # fill residual 0/1 pixels with the temporal median (:835)
-    sentinel2 = fill_extremes_with_median(
-        sentinel2, jnp.ones(sentinel2.shape[0], bool))
-
-    if not make_shadow or sentinel2.shape[0] < 3:
+    if not make_shadow or t_raw < 3:
+        sentinel2, s1, dem = _ingest(jnp.asarray(s2_10_h),
+                                     jnp.asarray(s2_20_h),
+                                     jnp.asarray(s1_h),
+                                     jnp.asarray(dem_h), s1_w)
+        kill = np.asarray(id_missing_px(
+            sentinel2, jnp.asarray(valid), thresh=2)).astype(bool)
+        valid &= ~kill
+        snow, _ = _snow_screen_body(sentinel2, jnp.asarray(valid))
+        sentinel2 = fill_extremes_with_median(sentinel2,
+                                              jnp.asarray(valid))
+        keep = np.flatnonzero(valid)
+        dates, sentinel2 = _take_dates(
+            np.setdiff1d(np.arange(cap), keep), np.pad(
+                dates, (0, cap - t_raw)), sentinel2)
         t, h, w = sentinel2.shape[:3]
         zeros = jnp.zeros((t, h, w), jnp.float32)
         return ProcessedTile(jnp.clip(sentinel2, 0, 1), dates, zeros,
                              s1, dem / 90.0, zeros, snow)
 
-    # masking rounds: drop dates >90% interpolated, recompute (:849-919)
-    cloudshad = fcps = interp = None
-    for _ in range(max_mask_rounds + 1):
-        cloudshad, fcps = identify_clouds_shadows(sentinel2, dem)
-        interp = interp_weights(cloudshad, 12.0, closing=15)
-        to_rm = np.argwhere(np.asarray(
-            jnp.mean(interp > 0, axis=(1, 2))) > 0.9).flatten()
-        if len(to_rm) == 0 or len(to_rm) >= sentinel2.shape[0]:
+    dates = np.pad(dates, (0, cap - t_raw))
+    args = (jnp.asarray(s2_10_h), jnp.asarray(s2_20_h),
+            jnp.asarray(s1_h), jnp.asarray(dem_h))
+
+    out = _ard_fused(*args, jnp.asarray(valid), s1_w)
+    dec = np.asarray(out[6])                  # the ONE host sync
+
+    # decision cascade (reference :786-832): missing-px kill, then the
+    # defunct-unless->10 snow screen
+    new_valid = valid & ~(dec[0] > 0)
+    snow_rm = (dec[1] > 0.25) & new_valid
+    if snow_rm.sum() > 10:
+        new_valid &= ~snow_rm
+    if not np.array_equal(new_valid, valid) and new_valid.any():
+        valid = new_valid
+        out = _ard_fused(*args, jnp.asarray(valid), s1_w)
+        dec = np.asarray(out[6])
+
+    # masking rounds: drop dates >90% interpolated, re-mask (:849-919)
+    for _ in range(max_mask_rounds):
+        rm = (dec[2] > 0.9) & valid
+        if not rm.any() or rm.all():
             break
-        dates, sentinel2 = _take_dates(to_rm, dates, sentinel2)
+        valid = valid & ~rm
+        out = _ard_fused(*args, jnp.asarray(valid), s1_w)
+        dec = np.asarray(out[6])
 
-    # gap fill (:935-944)
-    filled, interp, fully = remove_cloud_and_shadows(
-        sentinel2, cloudshad, fcps)
-    to_rm = np.argwhere(np.asarray(fully)).flatten()
-    if len(to_rm) > 0 and len(to_rm) < filled.shape[0]:
-        dates, filled, interp = _take_dates(to_rm, dates, filled,
-                                            interp)
-        cloudshad, _ = identify_clouds_shadows(filled, dem)
-        interp = interp_weights(cloudshad, 12.0, closing=15)
+    # fully-interpolated dates: mark invalid and reuse the existing
+    # masks/fill (the reference re-runs the masker on the reduced
+    # stack, :935-995 — an extra full pass that only relabels dates
+    # whose pixels are already 100% interpolated; quality-gated by the
+    # golden/parity suites)
+    fully = (dec[3] > 0) & valid
+    if fully.any() and not fully.all():
+        valid = valid & ~fully
 
-    return ProcessedTile(jnp.clip(filled, 0, 1), dates, interp, s1,
-                         dem / 90.0, cloudshad, snow)
+    filled, interp, cloudshad, snow, s1, dem = out[:6]
+    if not valid.all():
+        keep = np.flatnonzero(valid)
+        dates, filled, interp, cloudshad = _take_dates(
+            np.setdiff1d(np.arange(cap), keep), dates, filled, interp,
+            cloudshad)
+    return ProcessedTile(filled, dates, interp, s1, dem, cloudshad,
+                         snow)
 
 
 @jax.jit
@@ -234,16 +331,17 @@ def _smooth_device(s2, s1, interp, weights):
     out = jnp.concatenate([bands_monthly, indices_monthly], axis=-1)
 
     # raw medians for the model's 5th step
-    # (reference process_subtiles :1152-1160)
-    med_bands = jnp.median(s2, axis=0)
+    # (reference process_subtiles :1152-1160); sorting-network medians
+    # over the small static T axis (no XLA sort)
+    med_bands = median_axis0(s2)
     med_idx = jnp.stack([
-        jnp.median(idx_ops.evi(s2), axis=0),
-        jnp.median(idx_ops.bi(s2), axis=0),
-        jnp.median(idx_ops.msavi2(s2), axis=0),
-        jnp.median(idx_ops.grndvi(s2), axis=0),
+        median_axis0(idx_ops.evi(s2)),
+        median_axis0(idx_ops.bi(s2)),
+        median_axis0(idx_ops.msavi2(s2)),
+        median_axis0(idx_ops.grndvi(s2)),
     ], axis=-1)
     s2_median = jnp.concatenate([med_bands, med_idx], axis=-1)
-    s1_median = jnp.median(s1, axis=0)
+    s1_median = median_axis0(s1)
     clear_count = jnp.sum(interp < 0.33, axis=0).astype(jnp.float32)
     return (out.astype(jnp.float32), s2_median.astype(jnp.float32),
             s1_median.astype(jnp.float32), clear_count)

@@ -39,6 +39,12 @@ import numpy as np
 
 from ttc.ops.morphology import capped_edt, dilate, erode, maximum_filter
 from ttc.ops.filters import mean_filter
+from ttc.ops.sortnet import (
+    masked_median,
+    masked_median_axis0,
+    masked_min_axis0,
+    masked_quantile_axis0,
+)
 
 EPS = 1e-9
 
@@ -72,24 +78,6 @@ def winsum(x, size: int = 3):
     return mean_filter(x, size) * (size * size)
 
 
-def masked_median_t(data, bad_mask):
-    """Median over axis 0 ignoring entries where bad_mask (same shape or
-    broadcastable) is True. Returns NaN-free median plus an all-bad
-    indicator."""
-    bad = jnp.broadcast_to(bad_mask, data.shape)
-    big = jnp.asarray(jnp.finfo(data.dtype).max, data.dtype)
-    filled = jnp.where(bad, big, data)
-    srt = jnp.sort(filled, axis=0)
-    n = jnp.sum(jnp.logical_not(bad).astype(jnp.int32), axis=0)
-    n_c = jnp.maximum(n, 1)
-    lo = (n_c - 1) // 2
-    hi = n_c // 2
-    lo_v = jnp.take_along_axis(srt, lo[None], axis=0)[0]
-    hi_v = jnp.take_along_axis(srt, hi[None], axis=0)[0]
-    med = 0.5 * (lo_v + hi_v)
-    return med, n == 0
-
-
 def masked_max_t(data, bad_mask):
     bad = jnp.broadcast_to(bad_mask, data.shape)
     filled = jnp.where(bad, -jnp.inf, data)
@@ -113,223 +101,232 @@ def masked_mean_std(x, keep):
     return mean, jnp.sqrt(var)
 
 
-def _window(t: int, total: int, before: int, after: int,
-            widen_at_edges: int = 0):
-    """Static neighbor window [lower, upper) like the reference's
-    per-time lookups (:1265-1272, :1343-1350)."""
-    lower = max(0, t - before)
-    upper = min(total, t + after)
-    if (upper - lower) == (before + after - 1) - 0 and widen_at_edges:
-        pass
-    return lower, upper
+# ------------------------------------------------ validity / rank space
+#
+# Dates are fixed-capacity slots with a (T,) `valid` mask; removed dates
+# stay in place (SURVEY.md "dynamic date counts" design note). All
+# temporal neighbor windows are computed in *valid-rank space* so that
+# masking a date reproduces exactly what the reference's np.delete +
+# re-run would compute: masker(s2[keep]) == masker(s2, valid=keep)[keep].
+
+def _rank_info(valid):
+    """rank: index of each slot among valid dates (garbage for invalid
+    slots); n: valid count; pos: slot index of the k-th valid date
+    (entries >= n are unset — clip rank offsets before indexing)."""
+    t = valid.shape[0]
+    v = valid.astype(jnp.int32)
+    rank = jnp.cumsum(v) - 1
+    n = jnp.sum(v)
+    tgt = jnp.where(valid, rank, t)
+    pos = jnp.zeros(t + 1, jnp.int32).at[tgt].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")[:t]
+    return rank, n, pos
+
+
+def _rank_window_gather(pos, n, lo, width: int):
+    """Slot indices of the rank-space window [lo, lo+width) per date:
+    (T, width) int32, clipped into the valid range."""
+    rel = jnp.arange(width, dtype=jnp.int32)
+    k = lo[:, None] + rel
+    return pos[jnp.clip(k, 0, jnp.maximum(n - 1, 0))], k
 
 
 # ---------------------------------------------------------- shadow pass
 
-def _shadow_window_bounds(t_total: int):
-    """Host-side per-date [lower, upper) neighbor windows
-    (reference :1265-1272)."""
-    lowers, uppers = [], []
-    for t in range(t_total):
-        lower = max(0, t - 4)
-        upper = min(t_total, t + 3)
-        if (upper - lower) == 3:
-            if upper == t_total:
-                lower = max(lower - 1, 0)
-            if lower == 0:
-                upper = min(upper + 1, t_total)
-        lowers.append(lower)
-        uppers.append(upper)
-    return np.array(lowers, np.int32), np.array(uppers, np.int32)
+def _shadow_bounds(rank, n):
+    """Rank-space [lower, upper) shadow windows (reference :1265-1272,
+    with the 3-wide edge widening)."""
+    l0 = jnp.maximum(0, rank - 4)
+    u0 = jnp.minimum(n, rank + 3)
+    c3 = (u0 - l0) == 3
+    l1 = jnp.where(c3 & (u0 == n), jnp.maximum(l0 - 1, 0), l0)
+    u1 = jnp.where(c3 & (l1 == 0), jnp.minimum(u0 + 1, n), u0)
+    return l1, u1
 
 
 _SH_WIN = 7  # max shadow window extent (t-4 .. t+3)
 
 
-def _shadow_pass(img, clm, water_mask, dem):
+def _shadow_pass(img, clm, water_mask, dem, valid):
     """Per-date shadow candidates (reference :1265-1337).
 
-    The per-date neighbor windows run as ONE lax.scan over fixed-size
-    dynamic slices (entries outside [lower, upper) masked bad), so the
-    compiled graph is T-independent instead of T-unrolled.
+    Fully vectorized over dates: the per-date neighbor windows are ONE
+    gather into a (T, 7, H, W, 4) tensor and the masked window medians
+    run as a min/max sorting network along the window axis — no XLA
+    sort (which relayouts the stack and dominated masker time) and no
+    sequential scan. Windows live in valid-rank space, so invalid
+    slots are skipped exactly as the reference's np.delete would.
     """
-    t_total = img.shape[0]
     ref_bands = img[..., jnp.array([0, 1, 7, 8])]
-    min_ref = jnp.min(ref_bands, axis=0)
+    valid4 = valid[:, None, None, None]
+    min_ref, _ = masked_min_axis0(ref_bands, ~valid4)
 
-    # global non-cloud median reference (slope-relaxed variant)
-    med_all, empty_all = masked_median_t(
+    # global non-cloud median reference (slope-relaxed variant);
+    # clm is already forced to 1 on invalid slots
+    med_all, empty_all = masked_median_axis0(
         ref_bands, (clm > 0)[..., None])
-    med_plain = jnp.median(ref_bands, axis=0)
+    med_plain, _ = masked_median_axis0(ref_bands, ~valid4)
     ri_global = jnp.where(empty_all, med_plain, med_all)
 
-    lowers, uppers = _shadow_window_bounds(t_total)
-    ref_pad = jnp.pad(ref_bands,
-                      ((0, _SH_WIN), (0, 0), (0, 0), (0, 0)))
-    clm_pad = jnp.pad(clm, ((0, _SH_WIN), (0, 0), (0, 0)),
-                      constant_values=1.0)
-    rel = jnp.arange(_SH_WIN)
+    rank, n, pos = _rank_info(valid)
+    lo, up = _shadow_bounds(rank, n)
+    widx, k = _rank_window_gather(pos, n, lo, _SH_WIN)     # (T, 7)
+    in_win = k < up[:, None]                               # (T, 7)
 
-    def body(_, x):
-        lower, upper, img_t = x
-        win = jax.lax.dynamic_slice_in_dim(ref_pad, lower, _SH_WIN, 0)
-        clm_w = jax.lax.dynamic_slice_in_dim(clm_pad, lower, _SH_WIN, 0)
-        valid = (lower + rel) < upper
-        bad = ((clm_w > 0)
-               | ~valid[:, None, None])[..., None]
-        ri_med, empty = masked_median_t(win, bad)
-        ri_med = jnp.where(empty, min_ref, ri_med)
-        ri_max, empty_mx = masked_max_t(win, bad)
-        ri_max = jnp.where(empty_mx, min_ref, ri_max)
+    win = jnp.moveaxis(ref_bands[widx], 1, 0)              # (7,T,H,W,4)
+    clm_w = jnp.moveaxis(clm[widx], 1, 0)                  # (7,T,H,W)
+    bad = ((clm_w > 0)
+           | ~in_win.T[:, :, None, None])[..., None]
 
-        b8a_t = img_t[..., 7]
-        b11_t = img_t[..., 8]
-        blue_t = img_t[..., 0]
+    ri_med, empty = masked_median_axis0(win, bad)           # (T,H,W,4)
+    ri_med = jnp.where(empty, min_ref, ri_med)
+    ri_max = jnp.max(jnp.where(bad, -jnp.inf, win), axis=0)
+    ri_max = jnp.where(jnp.all(bad, axis=0), min_ref, ri_max)
 
-        shadows_i = ((b8a_t - ri_med[..., 2] < -0.04)
-                     & (b11_t - ri_med[..., 3] < -0.04)
-                     & (blue_t < 0.09)
-                     & (blue_t - ri_med[..., 0] < -0.02)
-                     & (b8a_t < 0.17)).astype(jnp.float32)
+    b8a_t = img[..., 7]
+    b11_t = img[..., 8]
+    blue_t = img[..., 0]
+    on_water = (water_mask > 0)[None]
 
-        dark = ((b8a_t - ri_max[..., 2] < -0.04)
-                & (b11_t - ri_max[..., 3] < -0.04)
-                & (blue_t < 0.03) & (b8a_t < 0.18)).astype(jnp.float32)
-        dark = jnp.where(water_mask > 0, 0.0, dark)
-        shadows_i = jnp.maximum(shadows_i, dark)
-        shadows_i = jnp.where(water_mask > 0, 0.0, shadows_i)
+    shadows = ((b8a_t - ri_med[..., 2] < -0.04)
+               & (b11_t - ri_med[..., 3] < -0.04)
+               & (blue_t < 0.09)
+               & (blue_t - ri_med[..., 0] < -0.02)
+               & (b8a_t < 0.17)).astype(jnp.float32)
 
-        # slope-relaxed: max reference, brighter blue limit, DEM >= 25
-        slope_shadow = ((b8a_t - ri_max[..., 2] < -0.04)
-                        & (b11_t - ri_max[..., 3] < -0.04)
-                        & (blue_t < 0.07)
-                        & (b8a_t < 0.18)
-                        & (jnp.sum(img_t[..., :3], axis=-1) < 0.28)
-                        ).astype(jnp.float32)
-        slope_shadow = jnp.where(water_mask > 0, 0.0, slope_shadow)
-        slope_shadow = slope_shadow * (dem >= 25)
-        shadows_i = jnp.maximum(shadows_i, slope_shadow)
+    dark = ((b8a_t - ri_max[..., 2] < -0.04)
+            & (b11_t - ri_max[..., 3] < -0.04)
+            & (blue_t < 0.03) & (b8a_t < 0.18)).astype(jnp.float32)
+    dark = jnp.where(on_water, 0.0, dark)
+    shadows = jnp.maximum(shadows, dark)
+    shadows = jnp.where(on_water, 0.0, shadows)
 
-        water_shadow = ((blue_t - ri_global[..., 0] < -0.05)
-                        & (img_t[..., 1] - ri_global[..., 1] < -0.05)
-                        & (b8a_t < 0.03)
-                        & (ri_global[..., 1] - img_t[..., 1] > 0.02)
-                        & (water_mask > 0)).astype(jnp.float32)
-        return None, shadows_i + water_shadow
+    # slope-relaxed: max reference, brighter blue limit, DEM >= 25
+    slope_shadow = ((b8a_t - ri_max[..., 2] < -0.04)
+                    & (b11_t - ri_max[..., 3] < -0.04)
+                    & (blue_t < 0.07)
+                    & (b8a_t < 0.18)
+                    & (jnp.sum(img[..., :3], axis=-1) < 0.28)
+                    ).astype(jnp.float32)
+    slope_shadow = jnp.where(on_water, 0.0, slope_shadow)
+    slope_shadow = slope_shadow * (dem >= 25)[None]
+    shadows = jnp.maximum(shadows, slope_shadow)
 
-    _, shadows = jax.lax.scan(
-        body, None, (jnp.asarray(lowers), jnp.asarray(uppers), img))
+    water_shadow = ((blue_t - ri_global[..., 0] < -0.05)
+                    & (img[..., 1] - ri_global[..., 1] < -0.05)
+                    & (b8a_t < 0.03)
+                    & (ri_global[..., 1] - img[..., 1] > 0.02)
+                    & on_water).astype(jnp.float32)
+    shadows = shadows + water_shadow
 
     # morphology: open (erode 2, dilate 3), then merge shadows within
     # 5 px of each other via the capped distance transform (:1329-1337)
     sh = dilate(1.0 - dilate(1.0 - shadows, 2), 3)
     dist = capped_edt(sh > 0, 6.0)
-    return (dist <= 5.0).astype(jnp.float32)
+    return (dist <= 5.0).astype(jnp.float32) * valid[:, None, None]
 
 
 # ----------------------------------------------------------- cloud pass
 
-def _cloud_window_bounds(t_total: int):
-    """Host-side per-date windows for the cloud pass: 'others' slice
-    bounds, 'close' index triples (+validity), and the 10-step widening
-    bounds (reference :1343-1391)."""
-    lo_o = np.zeros(t_total, np.int32)
-    up_o = np.zeros(t_total, np.int32)
-    close_idx = np.zeros((t_total, 3), np.int32)
-    close_valid = np.zeros((t_total, 3), bool)
-    wlo = np.zeros((t_total, 10), np.int32)
-    wup = np.zeros((t_total, 10), np.int32)
-    for t in range(t_total):
-        lower = max(0, t - 2)
-        upper = min(t_total, t + 3)
-        if (upper - lower) == 3:
-            if upper == t_total:
-                lower = max(lower - 2, 0)
-            if lower == 0:
-                upper = min(upper + 2, t_total)
-        lo_o[t], up_o[t] = lower, upper
+def _cloud_bounds(rank, n):
+    """Rank-space windows for the cloud pass: 'others' slice bounds,
+    'close' index triples (+validity), and the 10-step widening bounds
+    (reference :1343-1391), all traced so one compiled program serves
+    every validity pattern."""
+    l0 = jnp.maximum(0, rank - 2)
+    u0 = jnp.minimum(n, rank + 3)
+    c3 = (u0 - l0) == 3
+    lo_o = jnp.where(c3 & (u0 == n), jnp.maximum(l0 - 2, 0), l0)
+    up_o = jnp.where(c3 & (lo_o == 0), jnp.minimum(u0 + 2, n), u0)
 
-        close = [max(0, t - 1), min(t_total - 1, t + 1)]
-        if close[1] - close[0] < 2:
-            if close[0] == 0:
-                close = [c + 1 for c in close]
-            else:
-                close = [c - 1 for c in close]
-        if close[-1] >= (t_total - 2) and t_total > 3:
-            close = [close[0] - 1] + close
-        for j, c in enumerate(close):
-            close_idx[t, j] = np.clip(c, 0, t_total - 1)
-            close_valid[t, j] = 0 <= c < t_total
+    c0 = jnp.maximum(0, rank - 1)
+    c1 = jnp.minimum(n - 1, rank + 1)
+    narrow = (c1 - c0) < 2
+    shift = jnp.where(c0 == 0, 1, -1)
+    c0 = jnp.where(narrow, c0 + shift, c0)
+    c1 = jnp.where(narrow, c1 + shift, c1)
+    ext = (c1 >= n - 2) & (n > 3)
+    e = c0 - 1
+    # order is irrelevant downstream (masked min over the triple)
+    close_idx = jnp.stack([e, c0, c1], axis=-1)            # (T, 3)
+    close_valid = jnp.stack([ext & (e >= 0) & (e < n),
+                             (c0 >= 0) & (c0 < n),
+                             (c1 >= 0) & (c1 < n)], axis=-1)
 
-        min_i, max_i = close[0], close[-1]
-        for k in range(10):
-            min_i = max(min_i - 1, 0)
-            max_i = min(max_i + 1, t_total)
-            wlo[t, k], wup[t, k] = min_i, max_i
-    return lo_o, up_o, close_idx, close_valid, wlo, wup
+    min_i = jnp.where(ext, e, c0)
+    max_i = c1
+    wlo, wup = [], []
+    for _ in range(10):
+        min_i = jnp.maximum(min_i - 1, 0)
+        max_i = jnp.minimum(max_i + 1, n)
+        wlo.append(min_i)
+        wup.append(max_i)
+    return (lo_o, up_o, close_idx, close_valid,
+            jnp.stack(wlo, axis=-1), jnp.stack(wup, axis=-1))
 
 
 _CL_WIN = 5    # max 'others' window extent
 _W_WIN = 25    # max widened-window extent (close span + 2*10)
 
 
-def _cloud_pass(img, shadows, forest_mask):
+def _cloud_pass(img, shadows, forest_mask, valid):
     """Multi-temporal cloud candidates vs darkest-pixel composites with
     bounded threshold relaxation (reference :1342-1447). One lax.scan
-    over dates; neighbor windows are fixed-size dynamic slices with
-    validity masks, so compile time is T-independent."""
-    t_total = img.shape[0]
+    over dates; neighbor windows are rank-space gathers with validity
+    masks, so one compiled program serves every date count and
+    validity pattern."""
     rgb = img[..., :3]
-    pct25 = jnp.percentile(rgb, 25, axis=0)
-    min_rgb = jnp.min(rgb, axis=0)
+    valid3 = valid[:, None, None, None]
+    pct25 = masked_quantile_axis0(rgb, ~valid3, 25.0)
+    min_rgb, _ = masked_min_axis0(rgb, ~valid3)
 
-    lo_o, up_o, close_idx, close_valid, wlo, wup = \
-        _cloud_window_bounds(t_total)
+    rank, n, pos = _rank_info(valid)
+    lo_o, up_o, close_idx, close_valid, wlo, wup = _cloud_bounds(rank, n)
+    n_hi = jnp.maximum(n - 1, 0)
+    close_slots = pos[jnp.clip(close_idx, 0, n_hi)]        # (T, 3)
 
-    bad_full = (shadows > 0)[..., None]
-    rgb_pad = jnp.pad(rgb, ((0, _W_WIN), (0, 0), (0, 0), (0, 0)))
-    bad_pad = jnp.pad(bad_full, ((0, _W_WIN), (0, 0), (0, 0), (0, 0)),
-                      constant_values=True)
+    bad_full = (shadows > 0)[..., None] | ~valid3
     rel_o = jnp.arange(_CL_WIN)
     rel_w = jnp.arange(_W_WIN)
+    multi = n > 2
 
     def body(_, x):
-        (t, lo, up, cidx, cval, wlo_t, wup_t, rgb_t) = x
+        (r, lo, up, cslots, cval, wlo_t, wup_t, rgb_t) = x
 
-        if t_total > 2:
-            win_o = jax.lax.dynamic_slice_in_dim(rgb_pad, lo, _CL_WIN, 0)
-            bad_o = jax.lax.dynamic_slice_in_dim(bad_pad, lo, _CL_WIN, 0)
-            valid_o = (lo + rel_o) < up
-            ri_upper, empty_u = masked_min_t(
-                win_o, bad_o | ~valid_o[:, None, None, None])
-            ri_upper = jnp.where(empty_u, pct25, ri_upper)
+        slots_o = pos[jnp.clip(lo + rel_o, 0, n_hi)]
+        win_o = jnp.take(rgb, slots_o, axis=0)
+        bad_o = jnp.take(bad_full, slots_o, axis=0)
+        valid_o = (lo + rel_o) < up
+        ri_upper, empty_u = masked_min_t(
+            win_o, bad_o | ~valid_o[:, None, None, None])
+        ri_upper = jnp.where(empty_u, pct25, ri_upper)
 
-            rgb_c = jnp.take(rgb, cidx, axis=0)
-            bad_c = jnp.take(bad_full, cidx, axis=0) \
-                | ~cval[:, None, None, None]
-            ri_close, empty_c = masked_min_t(rgb_c, bad_c)
+        rgb_c = jnp.take(rgb, cslots, axis=0)
+        bad_c = jnp.take(bad_full, cslots, axis=0) \
+            | ~cval[:, None, None, None]
+        ri_close, empty_c = masked_min_t(rgb_c, bad_c)
 
-            # widen the window until filled (reference 10-iteration
-            # expansion :1385-1391); one fixed-size slice covers the
-            # widest window, per-step masks select the k-th extent
-            start = wlo_t[9]
-            win_w = jax.lax.dynamic_slice_in_dim(rgb_pad, start,
-                                                 _W_WIN, 0)
-            bad_w = jax.lax.dynamic_slice_in_dim(bad_pad, start,
-                                                 _W_WIN, 0)
-            offs = start + rel_w
-            for k in range(10):
-                vmask = ((offs >= wlo_t[k]) & (offs < wup_t[k])
-                         & (offs != t))
-                ri_new, empty_new = masked_min_t(
-                    win_w, bad_w | ~vmask[:, None, None, None])
-                ri_close = jnp.where(empty_c & ~empty_new, ri_new,
-                                     ri_close)
-                empty_c = empty_c & empty_new
-            ri_close = jnp.where(empty_c, min_rgb, ri_close)
-        else:
-            ri_close = jnp.min(rgb, axis=0)
-            ri_upper = ri_close
+        # widen the window until filled (reference 10-iteration
+        # expansion :1385-1391); one fixed-size gather covers the
+        # widest window, per-step masks select the k-th extent
+        offs = wlo_t[9] + rel_w
+        slots_w = pos[jnp.clip(offs, 0, n_hi)]
+        win_w = jnp.take(rgb, slots_w, axis=0)
+        bad_w = jnp.take(bad_full, slots_w, axis=0)
+        for k in range(10):
+            vmask = ((offs >= wlo_t[k]) & (offs < wup_t[k])
+                     & (offs != r))
+            ri_new, empty_new = masked_min_t(
+                win_w, bad_w | ~vmask[:, None, None, None])
+            ri_close = jnp.where(empty_c & ~empty_new, ri_new,
+                                 ri_close)
+            empty_c = empty_c & empty_new
+        ri_close = jnp.where(empty_c, min_rgb, ri_close)
+
+        # degenerate stacks (n <= 2): darkest composite only
+        # (reference's static t > 2 guard, :1342)
+        ri_close = jnp.where(multi, ri_close, min_rgb)
+        ri_upper = jnp.where(multi, ri_upper, min_rgb)
 
         close_thresh = jnp.minimum(ri_close[..., 0] / 2.0 + 0.005, 0.10)
         close_thresh = jnp.maximum(close_thresh, 0.05)
@@ -374,11 +371,8 @@ def _cloud_pass(img, shadows, forest_mask):
 
     _, clouds = jax.lax.scan(
         body, None,
-        (jnp.arange(t_total, dtype=jnp.int32), jnp.asarray(lo_o),
-         jnp.asarray(up_o), jnp.asarray(close_idx),
-         jnp.asarray(close_valid), jnp.asarray(wlo), jnp.asarray(wup),
-         rgb))
-    return clouds
+        (rank, lo_o, up_o, close_slots, close_valid, wlo, wup, rgb))
+    return clouds * valid[:, None, None]
 
 
 # -------------------------------------------------------------- parallax
@@ -423,15 +417,18 @@ def _downsample2(x):
     return jnp.mean(x, axis=(-3, -1))
 
 
-def detect_pfcp(img, dem, urban_mask=None):
+def detect_pfcp(img, dem, urban_mask=None, valid=None):
     """Urban/parallax false-cloud detection, Fmask 4.0 CDI
     (reference :1109-1212). Returns (fcps, pfps) as (T, H, W) floats."""
     t_total, h, w = img.shape[0], img.shape[1], img.shape[2]
-    ndwi_med = jnp.median(ndwi(img), axis=0)
+    if valid is None:
+        valid = jnp.ones(t_total, bool)
+    bad3 = ~valid[:, None, None]
+    ndwi_med, _ = masked_median_axis0(ndwi(img), bad3)
 
-    pfps = jnp.median(((ndbi(img) > 0)
-                       & (ndbi(img) > ndvi(img))).astype(jnp.float32),
-                      axis=0)
+    pfps, _ = masked_median_axis0(
+        ((ndbi(img) > 0)
+         & (ndbi(img) > ndvi(img))).astype(jnp.float32), bad3)
     pfps = pfps * (ndwi_med < 0)
     if urban_mask is not None:
         pfps = jnp.where(urban_mask > 0, 1.0, pfps) * \
@@ -462,40 +459,44 @@ def detect_pfcp(img, dem, urban_mask=None):
 
 @partial(jax.jit, static_argnames=("use_urban",))
 def identify_clouds_shadows(img, dem, forest_mask=None, urban_mask=None,
-                            use_urban: bool = False):
+                            use_urban: bool = False, valid=None):
     """(T, H, W, 10) datacube -> (clouds∪shadows, fcps) float masks.
 
-    img: reflectance stack (valid dates only — for fixed-capacity masked
-    stacks, call via the masked wrapper in ttc.preprocess.ard).
+    img: reflectance stack. `valid` marks occupied slots of a
+    fixed-capacity stack: invalid dates are excluded from every
+    temporal reference (neighbor windows run in valid-rank space) and
+    report all-cloud, so masker(s2, valid)[valid] equals
+    masker(s2[valid]) exactly (tested).
     dem: (H, W) median-filtered DEM (meters).
     """
     t_total = img.shape[0]
     if forest_mask is None:
         forest_mask = jnp.zeros_like(dem)
+    if valid is None:
+        valid = jnp.ones(t_total, bool)
+    valid = valid.astype(bool)
+    valid3 = valid[:, None, None]
 
-    water_mask = jnp.median(ndwi(img), axis=0)
-    clm = hollstein_seed(img)
+    water_mask, _ = masked_median_axis0(ndwi(img), ~valid3)
+    clm = jnp.where(valid3, hollstein_seed(img), 1.0)
 
-    shadows = _shadow_pass(img, clm, water_mask, dem)
-    clouds = _cloud_pass(img, shadows, forest_mask)
+    shadows = _shadow_pass(img, clm, water_mask, dem, valid)
+    clouds = _cloud_pass(img, shadows, forest_mask, valid)
 
-    # brightness z-score clouds with recurrence veto (:1458-1481)
+    # brightness z-score clouds with recurrence veto (:1458-1481):
+    # per-date masked medians over the full image via radix select
+    # (replacing 382k-element XLA sorts per date)
     brightness = jnp.sum(img[..., :3], axis=-1)
-
-    def _bcloud_one(clouds_t, shadows_t, brightness_t):
-        keep = (clouds_t == 0) & (shadows_t == 0)
-        flat = brightness_t.ravel()
-        kflat = keep.ravel()
-        srt = jnp.sort(jnp.where(kflat, flat, jnp.inf))
-        n = jnp.maximum(jnp.sum(kflat.astype(jnp.int32)), 1)
-        med = 0.5 * (srt[(n - 1) // 2] + srt[n // 2])
-        ratio = brightness_t / jnp.maximum(med, EPS)
-        ratio = jnp.where(water_mask > 0, 1.0, ratio)
-        mean_r, std_r = masked_mean_std(ratio, clouds_t == 0)
-        z = (ratio - mean_r) / jnp.maximum(std_r, EPS)
-        return (z > 3.5).astype(jnp.float32) * (water_mask < 0)
-
-    bclouds = jax.vmap(_bcloud_one)(clouds, shadows, brightness)
+    t_flat = brightness.reshape(t_total, -1)
+    keep_flat = ((clouds == 0) & (shadows == 0)).reshape(t_total, -1)
+    med_b, _ = masked_median(t_flat, keep_flat, axis=1)    # (T,)
+    ratio = brightness / jnp.maximum(med_b, EPS)[:, None, None]
+    ratio = jnp.where((water_mask > 0)[None], 1.0, ratio)
+    mean_r, std_r = jax.vmap(masked_mean_std)(ratio, clouds == 0)
+    z = (ratio - mean_r[:, None, None]) \
+        / jnp.maximum(std_r, EPS)[:, None, None]
+    bclouds = (z > 3.5).astype(jnp.float32) * (water_mask < 0)[None]
+    bclouds = bclouds * valid3
     recurrence = jnp.sum((bclouds - clouds) > 0, axis=0)
     bclouds = jnp.where(recurrence[None] > 1, 0.0, bclouds)
     clouds = jnp.maximum(clouds, bclouds)
@@ -512,34 +513,30 @@ def identify_clouds_shadows(img, dem, forest_mask=None, urban_mask=None,
     # bright-surface filter (:1516-1527): both gate on the same
     # +-1-date darkest composite — one scan over dates
     fcps, pfcps = detect_pfcp(img, dem,
-                              urban_mask if use_urban else None)
+                              urban_mask if use_urban else None,
+                              valid=valid)
     nir_swir = dilate((img[..., 3] / (img[..., 8] + 0.01) < 0.75)
                       .astype(jnp.float32), 3)
-    chan_min = jnp.min(img[..., :3], axis=3)            # (T, H, W)
-    chan_min_pad = jnp.pad(chan_min, ((0, 3), (0, 0), (0, 0)),
-                           constant_values=jnp.inf)
-    lo2 = jnp.asarray(np.maximum(np.arange(t_total) - 1, 0), jnp.int32)
-    hi2 = jnp.asarray(np.minimum(np.arange(t_total) + 2, t_total),
-                      jnp.int32)
+    # darkest +-1-valid-date composite per date, vectorized: a (T, 3)
+    # rank-space gather instead of the former scan over padded slices
+    chan_min = jnp.where(valid3, jnp.min(img[..., :3], axis=3),
+                         jnp.inf)                       # (T, H, W)
+    rank, n, pos = _rank_info(valid)
+    n_hi = jnp.maximum(n - 1, 0)
+    lo2 = jnp.maximum(rank - 1, 0)
+    hi2 = jnp.minimum(rank + 2, n)
     rel3 = jnp.arange(3)
-
-    def _fp_body(_, x):
-        lo, hi, clouds_t, shadows_t, fcps_t, ns_raw, mb_t = x
-        win = jax.lax.dynamic_slice_in_dim(chan_min_pad, lo, 3, 0)
-        valid = (lo + rel3) < hi
-        darkest = jnp.min(
-            jnp.where(valid[:, None, None], win, jnp.inf), axis=0)
-        isnt_cloud = (mb_t - darkest) < 0.4
-        rm = (fcps_t > 0) & isnt_cloud
-        c = jnp.where(rm, 0.0, clouds_t)
-        s = jnp.where(rm, 0.0, shadows_t)
-        ns_t = jnp.where(water_mask < 0, 0.0, ns_raw)
-        c = jnp.where((ns_t > 0) & isnt_cloud, 0.0, c)
-        return None, (c, s)
-
-    _, (clouds, shadows) = jax.lax.scan(
-        _fp_body, None,
-        (lo2, hi2, clouds, shadows, fcps, nir_swir, mean_bright))
+    k2 = lo2[:, None] + rel3
+    slots2 = pos[jnp.clip(k2, 0, n_hi)]                 # (T, 3)
+    win2 = chan_min[slots2]                             # (T, 3, H, W)
+    inwin2 = (k2 < hi2[:, None])[..., None, None]
+    darkest = jnp.min(jnp.where(inwin2, win2, jnp.inf), axis=1)
+    isnt_cloud = (mean_bright - darkest) < 0.4
+    rm = (fcps > 0) & isnt_cloud
+    clouds = jnp.where(rm, 0.0, clouds)
+    shadows = jnp.where(rm, 0.0, shadows)
+    ns = jnp.where((water_mask < 0)[None], 0.0, nir_swir)
+    clouds = jnp.where((ns > 0) & isnt_cloud, 0.0, clouds)
 
     # water NIR false positives (:1534-1539)
     water_fp = dilate(((water_mask > 0)
@@ -609,8 +606,8 @@ def identify_clouds_shadows(img, dem, forest_mask=None, urban_mask=None,
     mean_cf_b, std_cf_b, std_cf_w = jax.vmap(_haze_stats)(
         mean_bright, vis_range, clouds)
     # exclude fully-cloudy images from the medians like the reference's
-    # list comprehension over mean(clouds) < 1
-    cf_ok = jnp.mean(clouds, axis=(1, 2)) < 1.0
+    # list comprehension over mean(clouds) < 1 (invalid slots excluded)
+    cf_ok = (jnp.mean(clouds, axis=(1, 2)) < 1.0) & valid
     nan = jnp.float32(jnp.nan)
     hb = mean_cf_b / jnp.maximum(
         jnp.nanmedian(jnp.where(cf_ok, mean_cf_b, nan)), EPS)
@@ -622,6 +619,9 @@ def identify_clouds_shadows(img, dem, forest_mask=None, urban_mask=None,
         | ((hb >= 1.3) & (hs <= 0.5))
     clouds = jnp.where(haze[:, None, None], 1.0, clouds)
 
+    # invalid slots report all-cloud / no-fcp
+    clouds = jnp.where(valid3, clouds, 1.0)
+    fcps = jnp.where(valid3, fcps, 0.0)
     return clouds, fcps
 
 

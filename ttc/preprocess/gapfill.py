@@ -18,8 +18,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ttc.ops.morphology import capped_edt, dilate, erode, grey_closing
+from ttc.ops.sortnet import (
+    masked_median,
+    masked_median_axis0,
+    masked_quantile,
+    median_axis0,
+    quantile_axis0,
+)
 from ttc.preprocess.clouds import EPS, ndwi, snow_filter
 
 N_ALIGN_FEATURES = 11  # 10 bands + snow probability
@@ -46,26 +54,32 @@ def interp_weights(cloud_mask, feather_px: float = 12.0,
     return jnp.where(has_any, blurred, 0.0)
 
 
-def water_mask_morph(arr):
+def water_mask_morph(arr, valid=None):
     """Median-NDWI water mask, eroded 2 then dilated 5
     (reference make_aligned_mosaic :583-586)."""
-    wm = jnp.median(ndwi(arr), axis=0) > 0
+    if valid is None:
+        wm = median_axis0(ndwi(arr)) > 0
+    else:
+        med, _ = masked_median_axis0(ndwi(arr), ~valid[:, None, None])
+        wm = med > 0
     return dilate(erode(wm.astype(jnp.float32), 2), 5)
 
 
 @jax.jit
-def make_aligned_mosaic(arr, interp):
+def make_aligned_mosaic(arr, interp, valid=None):
     """Cloud-free reference composite (reference :578-699).
 
     Per-date mean/std alignment to the cross-date average over co-clear
     land pixels, clear-weighted sum, NaN-fill with the 10th percentile,
-    clamped to the per-pixel stack envelope.
+    clamped to the per-pixel stack envelope. Fully batched over dates;
+    the per-date co-clear medians run as radix selects instead of
+    full-image XLA sorts (exact, ~15x cheaper on TPU). Invalid slots
+    (interp == 1 everywhere) drop out of the statistics automatically;
+    `valid` only gates the fallback/envelope reductions.
     """
-    t_total = arr.shape[0]
-    wm = water_mask_morph(arr)
+    t_total, h, w, c = arr.shape
+    wm = water_mask_morph(arr, valid)
     clear = (interp < 0.25) & (wm == 0)          # (T, H, W)
-
-    divisor = jnp.sum(1.0 - interp, axis=0)[..., None]
 
     # O(T) sufficient statistics: the per-date "sum of other dates over
     # pixels clear at i" factorizes as clear_i * (S_all - arr_i * M_i)
@@ -75,50 +89,58 @@ def make_aligned_mosaic(arr, interp):
     s_all = jnp.sum(arr * m_all, axis=0)                # (H, W, C)
     c_all = jnp.sum(m_all, axis=0)                      # (H, W, 1)
 
-    mosaic = jnp.zeros_like(arr[0])
-    for i in range(t_total):
-        ci = clear[i][..., None].astype(arr.dtype)
-        other_sum = (s_all - arr[i] * m_all[i]) * ci
-        other_cnt = (c_all - m_all[i]) * ci
-        ref_px = (clear[i] & (other_cnt[..., 0] > 0))[..., None]
+    ci = clear[..., None].astype(arr.dtype)             # (T, H, W, 1)
+    other_sum = (s_all[None] - arr * m_all) * ci        # (T, H, W, C)
+    other_cnt = (c_all[None] - m_all) * ci              # (T, H, W, 1)
+    ref_px = clear & (other_cnt[..., 0] > 0)            # (T, H, W)
+    n_ref = jnp.sum(ref_px, axis=(1, 2))                # (T,)
 
-        n_ref = jnp.sum(ref_px)
-        ref_vals = jnp.where(ref_px, other_sum
-                             / jnp.maximum(other_cnt, 1.0), jnp.nan)
-        src_vals = jnp.where(ref_px, arr[i], jnp.nan)
+    ref_vals = (other_sum / jnp.maximum(other_cnt, 1.0)) \
+        .reshape(t_total, h * w, c)
+    src_vals = arr.reshape(t_total, h * w, c)
+    keep = ref_px.reshape(t_total, h * w, 1)
 
-        mean_ref = jnp.nanmedian(
-            ref_vals.reshape(-1, arr.shape[-1]), axis=0)
-        std_ref = _nanstd(ref_vals.reshape(-1, arr.shape[-1]))
-        mean_src = jnp.nanmedian(
-            src_vals.reshape(-1, arr.shape[-1]), axis=0)
-        std_src = _nanstd(src_vals.reshape(-1, arr.shape[-1]))
+    mean_ref, _ = masked_median(ref_vals, keep, axis=1)  # (T, C)
+    mean_src, _ = masked_median(src_vals, keep, axis=1)
+    std_ref = _masked_std(ref_vals, keep)
+    std_src = _masked_std(src_vals, keep)
 
-        std_mult = std_ref / jnp.maximum(std_src, EPS)
-        addition = mean_ref - mean_src * std_mult
-        aligned = jnp.where((wm == 0)[..., None],
-                            arr[i] * std_mult + addition, arr[i])
-        # skip dates with too few co-clear samples (reference >1000 px)
-        usable = n_ref > 1000
-        increment = jnp.where(usable,
-                              (1.0 - interp[i][..., None]) * aligned, 0.0)
-        mosaic = mosaic + increment
-        divisor = jnp.where(usable, divisor,
-                            divisor - (1.0 - interp[i][..., None]))
+    std_mult = (std_ref / jnp.maximum(std_src, EPS))[:, None, None]
+    addition = (mean_ref - mean_src * std_mult[:, 0, 0])[:, None, None]
+    aligned = jnp.where((wm == 0)[None, ..., None],
+                        arr * std_mult + addition, arr)
+    # skip dates with too few co-clear samples (reference >1000 px)
+    usable = (n_ref > 1000)[:, None, None, None]
+    weight = (1.0 - interp)[..., None]
+    mosaic = jnp.sum(jnp.where(usable, weight * aligned, 0.0), axis=0)
+    divisor = jnp.sum(jnp.where(usable, weight, 0.0), axis=0)
 
     divisor = jnp.maximum(divisor, 0.0)
     mosaic = mosaic / jnp.maximum(divisor, EPS)
-    fallback = jnp.percentile(arr, 10, axis=0)
+    if valid is None:
+        fallback = quantile_axis0(arr, 10.0)
+        env_lo, env_hi = jnp.min(arr, axis=0), jnp.max(arr, axis=0)
+    else:
+        from ttc.ops.sortnet import (masked_max_axis0, masked_min_axis0,
+                                     masked_quantile_axis0)
+
+        bad4 = ~valid[:, None, None, None]
+        fallback = masked_quantile_axis0(arr, bad4, 10.0)
+        env_lo, _ = masked_min_axis0(arr, bad4)
+        env_hi, _ = masked_max_axis0(arr, bad4)
     mosaic = jnp.where(jnp.isfinite(mosaic) & (divisor > 0), mosaic,
                        fallback)
-    mosaic = jnp.clip(mosaic, jnp.min(arr, axis=0), jnp.max(arr, axis=0))
+    mosaic = jnp.clip(mosaic, env_lo, env_hi)
     return mosaic
 
 
-def _nanstd(x):
-    n = jnp.sum(jnp.isfinite(x), axis=0)
-    mean = jnp.nanmean(x, axis=0)
-    var = jnp.nansum((x - mean) ** 2, axis=0) / jnp.maximum(n, 1)
+def _masked_std(x, keep):
+    """Population std over axis 1 counting only `keep` entries —
+    the masked equivalent of the previous NaN-fill _nanstd."""
+    k = jnp.broadcast_to(keep, x.shape).astype(x.dtype)
+    n = jnp.maximum(jnp.sum(k, axis=1), 1.0)
+    mean = jnp.sum(x * k, axis=1) / n
+    var = jnp.sum((x - mean[:, None]) ** 2 * k, axis=1) / n
     return jnp.sqrt(var)
 
 
@@ -148,9 +170,8 @@ def _evi_stratified_weights(targets, mask):
     from ttc.ops.indices import evi
 
     e = evi(targets)
-    big = jnp.where(mask, e, jnp.nan)
-    edges = jnp.nanpercentile(big, jnp.asarray([2.0, 20.0, 40.0, 60.0,
-                                                80.0, 98.0]))
+    edges = masked_quantile(e, mask, np.asarray([2.0, 20.0, 40.0, 60.0,
+                                                 80.0, 98.0]))
     bins = jnp.zeros_like(e, dtype=jnp.int32)
     for k in range(5):
         bins = jnp.where(e >= edges[k], k + 1, bins)
@@ -166,30 +187,36 @@ def _evi_stratified_weights(targets, mask):
 
 
 def align_mosaic_to_date(arr, mosaic, interp, date: int, water_mask,
-                         snow):
+                         snow, rank=None, n=None, pos=None):
     """Predict date-`date` appearance of the mosaic from co-clear pixels
     of dates t-1..t+1, EVI-stratified (reference align_interp_array
-    :316-575)."""
+    :316-575). With rank info the neighbor window lives in valid-rank
+    space (fixed 3 slots, out-of-window slots zero-weighted)."""
     t_total = arr.shape[0]
-    lo = max(date - 1, 0) if date != t_total - 1 else max(date - 2, 0)
-    hi = min(date + 2, t_total)
+    if rank is None:
+        from ttc.preprocess.clouds import _rank_info
+
+        rank, n, pos = _rank_info(jnp.ones(t_total, bool))
+
+    r = rank[date]
+    lo = jnp.where(r == n - 1, jnp.maximum(r - 2, 0),
+                   jnp.maximum(r - 1, 0))
+    hi = jnp.minimum(r + 2, n)
+    ks = lo + jnp.arange(3)
+    slots = pos[jnp.clip(ks, 0, jnp.maximum(n - 1, 0))]
+    in_win = ks < hi
 
     feats = jnp.concatenate([mosaic, snow], axis=-1) \
         .reshape(-1, N_ALIGN_FEATURES)
-    n_px = feats.shape[0]
 
-    # stack co-clear samples of the neighbor window
-    f_parts = []
-    t_parts = []
-    m_parts = []
-    for t in range(lo, hi):
-        mask = ((interp[t] == 0) & (water_mask < 1)).reshape(-1)
-        f_parts.append(feats)
-        t_parts.append(arr[t].reshape(-1, arr.shape[-1]))
-        m_parts.append(mask)
-    x = jnp.concatenate(f_parts, axis=0)
-    y = jnp.concatenate(t_parts, axis=0)
-    m = jnp.concatenate(m_parts, axis=0)
+    # co-clear samples of the (gathered) neighbor window
+    win_arr = arr[slots]                                # (3, H, W, C)
+    win_interp = interp[slots]                          # (3, H, W)
+    masks = ((win_interp == 0) & (water_mask < 1)[None]
+             & in_win[:, None, None])
+    x = jnp.concatenate([feats] * 3, axis=0)
+    y = win_arr.reshape(-1, arr.shape[-1])
+    m = masks.reshape(-1)
     m = _evi_stratified_weights(y, m)
 
     coef = _nnls_align(x, y, m)
@@ -198,11 +225,12 @@ def align_mosaic_to_date(arr, mosaic, interp, date: int, water_mask,
     return jnp.where(region, pred, mosaic[..., :arr.shape[-1]])
 
 
-def calculate_clouds_in_mosaic(mosaic, interp, pfcps):
+def calculate_clouds_in_mosaic(mosaic, interp, pfcps, first_idx=0):
     """Residual-cloud weight for single-image areas
-    (reference :703-732)."""
+    (reference :703-732). `first_idx` selects the first *valid* date's
+    fcp plane for fixed-capacity stacks."""
     only_1 = jnp.sum(1.0 - (interp > 0), axis=0) < 2
-    p = pfcps[0] if pfcps.ndim == 3 else pfcps
+    p = pfcps[first_idx] if pfcps.ndim == 3 else pfcps
     p = dilate(p, 10)
     only_1 = jnp.maximum(only_1.astype(jnp.float32), p)
 
@@ -221,35 +249,56 @@ def calculate_clouds_in_mosaic(mosaic, interp, pfcps):
 
 
 def _masked_percentile(x, keep, pct):
+    """k-th order statistic at floor(pct/100*(n-1)) of the kept set —
+    the previous sort-and-index semantics, via radix select."""
+    from ttc.ops.sortnet import masked_kth
+
     flat = x.ravel()
     k = keep.ravel()
-    srt = jnp.sort(jnp.where(k, flat, jnp.inf))
     n = jnp.maximum(jnp.sum(k.astype(jnp.int32)), 1)
     idx = jnp.clip((pct / 100.0 * (n - 1)).astype(jnp.int32), 0, n - 1)
-    return srt[idx]
+    return masked_kth(flat, k, idx)
 
 
 @jax.jit
-def remove_cloud_and_shadows(tiles, cloud_shadow, pfcps):
+def remove_cloud_and_shadows(tiles, cloud_shadow, pfcps, valid=None):
     """Full gap-fill (reference :888-973): feathered weights -> aligned
     mosaic -> per-date aligned blend. Returns
-    (filled_tiles, interp_weights, fully_interpolated_mask)."""
-    interp = interp_weights(cloud_shadow, 12.0, closing=20)
-    mosaic = make_aligned_mosaic(tiles, interp)
+    (filled_tiles, interp_weights, fully_interpolated_mask).
 
-    wm = ndwi(jnp.median(tiles, axis=0)) > 0
-    snow = jnp.mean(snow_filter(tiles), axis=0)[..., None]
+    With `valid`, invalid slots (all-cloud masks) drop out of every
+    statistic; their filled rows are zeroed and their interp forced to
+    1 so rcs(s2, cs, fcps, valid)[valid] == rcs(s2[v], cs[v], fcps[v])
+    exactly (tested)."""
+    from ttc.preprocess.clouds import _rank_info
 
     t_total = tiles.shape[0]
+    if valid is None:
+        valid = jnp.ones(t_total, bool)
+    valid = valid.astype(bool)
+    rank, n, pos = _rank_info(valid)
+
+    interp = interp_weights(cloud_shadow, 12.0, closing=20)
+    mosaic = make_aligned_mosaic(tiles, interp, valid)
+
+    med, _ = masked_median_axis0(tiles, ~valid[:, None, None, None])
+    wm = ndwi(med) > 0
+    nf = jnp.maximum(n.astype(tiles.dtype), 1.0)
+    snow = (jnp.sum(snow_filter(tiles) * valid[:, None, None], axis=0)
+            / nf)[..., None]
+
     out = []
     for date in range(t_total):
         aligned = align_mosaic_to_date(tiles, mosaic, interp, date, wm,
-                                       snow)
+                                       snow, rank, n, pos)
         w = interp[date][..., None]
         out.append(tiles[date] * (1.0 - w) + aligned * w)
     filled = jnp.stack(out)
+    filled = jnp.where(valid[:, None, None, None], filled, 0.0)
 
-    cim = calculate_clouds_in_mosaic(mosaic, interp, pfcps)
+    cim = calculate_clouds_in_mosaic(mosaic, interp, pfcps,
+                                     first_idx=pos[0])
     interp = jnp.clip(interp + cim[None], 0.0, 1.0)
+    interp = jnp.where(valid[:, None, None], interp, 1.0)
     fully_interp = jnp.mean(interp == 1, axis=(1, 2)) == 1
     return filled, interp, fully_interp
