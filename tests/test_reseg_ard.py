@@ -58,3 +58,64 @@ def test_missing_borders_returns_none(tmp_path):
     store = TileStore(str(tmp_path))
     assert load_border_strips(store, 9, 9, "east") is None
     assert ard_strip_predictor(store, (9, 9), (9, 10), None) is None
+
+
+@pytest.mark.slow
+def test_feature_rasters_patched_seam_side_only(tmp_path):
+    """*_feat parity: an accepted strip repair regenerates the 32-ch
+    feature rasters over the strip and patches the stored feats
+    seam-side only (reference resegment_tiles_wide_feat.py:530-545)."""
+    import os
+
+    from ttc.infer.reseg import regenerate_strip_features
+
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    store = TileStore(str(tmp_path))
+    backend = FixtureBackend(seed=6, n_dates=8, hw=110)
+
+    before = {}
+    for x in (0, 1):
+        raw = backend.fetch(x, 0, None, 2023)
+        sm = smooth_tile(process_tile(raw))
+        store.make_tile_folders(x, 0)
+        save_border_strips(store, x, 0, sm, width=60)
+        feats_dir = os.path.join(store.tile_dir(x, 0), "feats")
+        os.makedirs(feats_dir, exist_ok=True)
+        for name in ("early", "late"):
+            arr = np.full((110, 110, 32), 7, np.int16)
+            np.save(os.path.join(feats_dir, f"{name}.npy"), arr)
+            before[(x, name)] = arr.copy()
+
+    fn = ard_strip_predictor(store, (0, 0), (1, 0), params,
+                             direction="x", strip_width=40)
+    fn()  # run the strip predict (stashes model_inputs)
+    assert regenerate_strip_features(fn, store, (0, 0), (1, 0),
+                                     direction="x")
+
+    for x, side in ((0, "left"), (1, "right")):
+        for name in ("early", "late"):
+            after = np.load(os.path.join(store.tile_dir(x, 0),
+                                         "feats", f"{name}.npy"))
+            sl_patch = (slice(None), slice(-40, None)) if side == "left" \
+                else (slice(None), slice(0, 40))
+            sl_rest = (slice(None), slice(0, -40)) if side == "left" \
+                else (slice(None), slice(40, None))
+            # seam-side strip changed, the rest untouched
+            assert not np.array_equal(after[sl_patch],
+                                      before[(x, name)][sl_patch])
+            np.testing.assert_array_equal(after[sl_rest],
+                                          before[(x, name)][sl_rest])
+
+
+def test_regenerate_features_requires_inputs_and_feats(tmp_path):
+    from ttc.infer.reseg import regenerate_strip_features
+
+    store = TileStore(str(tmp_path))
+
+    class NoInputs:
+        pass
+
+    assert not regenerate_strip_features(NoInputs(), store, (0, 0),
+                                         (1, 0))

@@ -28,7 +28,8 @@ import os
 import numpy as np
 
 from ttc.cli.change_job import find_ttc_tif
-from ttc.infer.reseg import (ard_strip_predictor, resegment_pair,
+from ttc.infer.reseg import (ard_strip_predictor,
+                             regenerate_strip_features, resegment_pair,
                              seam_diff, update_ard_tiles,
                              update_border_strips)
 from ttc.io.geotiff import read_geotiff, write_geotiff
@@ -150,6 +151,12 @@ def run_pair(local_path: str, x: int, y: int, direction: str = "x",
     if aligned is not None:
         update_border_strips(store, (x, y), (nx, ny), aligned,
                              direction=direction)
+    # *_feat variants: regenerate the stored feature rasters for the
+    # repaired strip (reference resegment_tiles_wide_feat.py:530-545)
+    if regenerate_strip_features(predict_fn, store, (x, y), (nx, ny),
+                                 direction=direction):
+        log.info("pair (%s,%s)-(%s,%s): stored feature rasters "
+                 "patched seam-side", x, y, nx, ny)
     log.info("pair (%s,%s)-(%s,%s): repaired -> %s/%s "
              "(seam %0.1f -> %0.1f, ard %s)", x, y, nx, ny, sfx_l,
              sfx_r, diff_before, diff_after,

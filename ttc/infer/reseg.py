@@ -442,6 +442,12 @@ def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
         s2m = pad_to(s2m, 0)
         s1m = pad_to(s1m, 0)
         cc = pad_to(cc, 0)
+        # stash the assembled strip inputs for the *_feat regeneration
+        # path (regenerate_strip_features)
+        _fn.model_inputs = (s2, s1, slope, s2m, s1m, cfg, hw, w)
+        _fn.params = params
+        _fn.model = model_
+
         raster = np.asarray(predictor(s2, s1, slope, s2m, s1m, cc))
         raster = raster[:hw, :w].astype(np.float32)
         out_strip = np.where(raster == 255, np.nan, raster / 100.0)
@@ -450,3 +456,71 @@ def ard_strip_predictor(store, left_xy, right_xy, params, model=None,
 
     _fn.strip_width = strip_width
     return _fn
+
+
+def regenerate_strip_features(predict_fn, store, left_xy, right_xy,
+                              direction: str = "x"):
+    """Regenerate the 32-ch feature rasters for an accepted strip
+    repair and patch both tiles' stored feats seam-side (the
+    reference's *_feat reseg variants,
+    reference: src/resegment_tiles_wide_feat.py:530-545).
+
+    Uses the strip inputs the ARD strip predictor assembled for the
+    repair itself, runs the model with feature taps over the same
+    windows, Gaussian-mosaics the early/late maps at strip geometry,
+    and writes the innermost strip_width px of each tile's
+    feats/{early,late}.npy. Returns True when both tiles' stored
+    feature rasters were patched."""
+    import os
+
+    import jax.numpy as jnp
+
+    inputs = getattr(predict_fn, "model_inputs", None)
+    if inputs is None:
+        return False
+    paths = {}
+    for xy in (left_xy, right_xy):
+        d = os.path.join(store.tile_dir(*xy), "feats")
+        pair = (os.path.join(d, "early.npy"),
+                os.path.join(d, "late.npy"))
+        if not all(os.path.exists(p) for p in pair):
+            return False
+        paths[xy] = pair
+
+    from ttc.core.bands import NORM_MAX, NORM_MIN
+    from ttc.infer.mosaic import extract_tile_features
+    from ttc.infer.pipeline import quarterly_medians
+    from ttc.infer.windows import build_model_inputs, normalize
+
+    s2, s1, slope, s2m, s1m, cfg, hw, w = inputs
+    batch, _ = build_model_inputs(
+        quarterly_medians(jnp.asarray(s2)),
+        quarterly_medians(jnp.asarray(s1)),
+        jnp.asarray(s2m), jnp.asarray(s1m), jnp.asarray(slope), cfg)
+    norm = normalize(batch, NORM_MIN, NORM_MAX)
+    early, late, _ = extract_tile_features(
+        predict_fn.params, norm, predict_fn.model, cfg)
+    early = np.asarray(early)[:hw, :w]
+    late = np.asarray(late)[:hw, :w]
+
+    half = w // 2
+    axis = 0 if direction == "y" else 1
+    for side, xy in (("left", left_xy), ("right", right_xy)):
+        sl_strip = slice(0, half) if side == "left" \
+            else slice(half, None)
+        e_half, l_half = early[:, sl_strip], late[:, sl_strip]
+        if direction == "y":
+            # rotate back from the east-west working frame
+            e_half = np.swapaxes(e_half, 0, 1)
+            l_half = np.swapaxes(l_half, 0, 1)
+        # left tile: patch its trailing (east/south) edge; right tile:
+        # its leading (west/north) edge
+        for path, patch in zip(paths[xy], (e_half, l_half)):
+            stored = np.load(path)
+            sl = [slice(None)] * stored.ndim
+            extent = patch.shape[axis]
+            sl[axis] = slice(-extent, None) \
+                if side == "left" else slice(0, extent)
+            stored[tuple(sl)] = patch
+            np.save(path, stored)
+    return True
