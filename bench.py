@@ -108,7 +108,7 @@ def run_full(n_tiles: int = 5, warmup: bool = True,
     Returns (tiles/sec from mean, per-tile seconds list, origin)."""
     import concurrent.futures as cf
 
-    from ttc.preprocess.ard import process_tile, smooth_tile
+    from ttc.preprocess.ard import process_and_smooth_tile
 
     if predictor is None:
         predictor, origin = _build_predictor()
@@ -117,7 +117,9 @@ def run_full(n_tiles: int = 5, warmup: bool = True,
     raws = [_raw_tile(s, cloud_fraction) for s in range(n_tiles + 1)]
 
     def prep(raw):
-        return smooth_tile(process_tile(raw))
+        # fused single-dispatch ARD+smooth (bit-exact vs the two-stage
+        # path, tests/test_ard.py::test_fused_smooth_matches_two_stage)
+        return process_and_smooth_tile(raw)[1]
 
     def predict(sm):
         raster = predictor(sm.s2, sm.s1, sm.dem, sm.s2_median,
@@ -237,7 +239,7 @@ def reference_masker_baseline():
     dem = np.asarray(tile.dem) * 90.0
 
     t0 = time.perf_counter()
-    ref_fn(img, dem)
+    ref_fn(img, dem, None)        # (img, dem, bbx) — bbx unused path
     return time.perf_counter() - t0
 
 

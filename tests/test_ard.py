@@ -107,3 +107,25 @@ def test_full_ard_to_prediction():
     assert raster.dtype == np.uint8
     valid = raster[raster != 255]
     assert len(valid) > 0 and valid.max() <= 100
+
+
+def test_fused_smooth_matches_two_stage():
+    """process_and_smooth_tile (smoothing fused into the ARD dispatch)
+    must equal smooth_tile(process_tile(raw)) exactly — including under
+    date-capacity bucketing where pad slots are invalid."""
+    from ttc.preprocess.ard import process_and_smooth_tile
+
+    backend = FixtureBackend(seed=4, n_dates=9, hw=64)
+    raw = backend.fetch(0, 0, None, 2023)
+
+    tile_a = process_tile(raw)
+    sm_a = smooth_tile(tile_a)
+    tile_b, sm_b = process_and_smooth_tile(raw)
+
+    np.testing.assert_array_equal(np.asarray(tile_a.s2),
+                                  np.asarray(tile_b.s2))
+    np.testing.assert_array_equal(tile_a.dates, tile_b.dates)
+    for f in ("s2", "s2_median", "s1_median", "clear_count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sm_a, f)), np.asarray(getattr(sm_b, f)),
+            err_msg=f)

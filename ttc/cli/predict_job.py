@@ -141,8 +141,8 @@ def prepare_tile(x: int, y: int, year: int, backend, store: TileStore,
     with timer.stage("download"):
         raw: RawTile = backend.fetch(x, y, bbox, year)
     with timer.stage("ard"):
-        tile = process_tile(raw)
         if sr_params is not None:
+            tile = process_tile(raw)
             import jax.numpy as jnp
 
             from ttc.models.superres import superresolve_tile
@@ -150,7 +150,13 @@ def prepare_tile(x: int, y: int, year: int, backend, store: TileStore,
             # stays on device — smooth_tile consumes it there
             tile.s2 = superresolve_tile(sr_params,
                                         jnp.asarray(tile.s2))
-        sm = smooth_tile(tile)
+            sm = smooth_tile(tile)
+        else:
+            # no SR between masking and smoothing: run the fused
+            # single-dispatch ARD+smooth program
+            from ttc.preprocess.ard import process_and_smooth_tile
+
+            tile, sm = process_and_smooth_tile(raw)
     return tile, sm
 
 

@@ -36,7 +36,7 @@ from ttc.ops.temporal import (
     fill_extremes_with_median,
     id_missing_px,
 )
-from ttc.ops.sortnet import median_axis0
+from ttc.ops.sortnet import masked_median_axis0, median_axis0
 from ttc.ops.whittaker import WhittakerSmoother
 from ttc.ops.morphology import dilate
 from ttc.preprocess.clouds import identify_clouds_shadows, snow_filter
@@ -211,9 +211,20 @@ def _bucket_capacity(t: int) -> int:
     return t
 
 
+def process_and_smooth_tile(raw: RawTile, make_shadow: bool = True,
+                            max_mask_rounds: int = 3,
+                            bucket: bool = True):
+    """process_tile + smooth_tile with the smoothing FUSED into the
+    ARD dispatch (one device program, one readback) in the common
+    no-removal case. Returns (ProcessedTile, SmoothedTile)."""
+    return process_tile(raw, make_shadow=make_shadow,
+                        max_mask_rounds=max_mask_rounds, bucket=bucket,
+                        smooth=True)
+
+
 def process_tile(raw: RawTile, make_shadow: bool = True,
                  max_mask_rounds: int = 3,
-                 bucket: bool = True) -> ProcessedTile:
+                 bucket: bool = True, smooth: bool = False):
     """Raw -> masked/gap-filled datacube.
 
     One upload of the uint16 stacks, ONE fused device dispatch, ONE
@@ -222,7 +233,9 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
     mask (no recompiles, no shape changes); `bucket` pads the date
     axis to the next capacity bucket so production tiles share a
     handful of compiled shapes. Outputs are compacted to valid dates,
-    preserving the original ProcessedTile contract."""
+    preserving the original ProcessedTile contract. With smooth=True
+    the regrid/Whittaker/median program fuses into the same dispatch
+    and (ProcessedTile, SmoothedTile) is returned."""
     dates = np.asarray(raw.s2_dates)
 
     # host: spatial alignment on the compact raw dtypes, then upload
@@ -267,14 +280,21 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
                 dates, (0, cap - t_raw)), sentinel2)
         t, h, w = sentinel2.shape[:3]
         zeros = jnp.zeros((t, h, w), jnp.float32)
-        return ProcessedTile(jnp.clip(sentinel2, 0, 1), dates, zeros,
+        tile = ProcessedTile(jnp.clip(sentinel2, 0, 1), dates, zeros,
                              s1, dem / 90.0, zeros, snow)
+        return (tile, smooth_tile(tile)) if smooth else tile
 
     dates = np.pad(dates, (0, cap - t_raw))
     args = (jnp.asarray(s2_10_h), jnp.asarray(s2_20_h),
             jnp.asarray(s1_h), jnp.asarray(dem_h))
 
-    out = _ard_fused(*args, jnp.asarray(valid), s1_w)
+    def dispatch(v):
+        if smooth:
+            w = jnp.asarray(regrid_weights(dates, v)[0])
+            return _ard_smooth_fused(*args, jnp.asarray(v), s1_w, w)
+        return _ard_fused(*args, jnp.asarray(v), s1_w), None
+
+    out, sm = dispatch(valid)
     dec = np.asarray(out[6])                  # the ONE host sync
 
     # decision cascade (reference :786-832): missing-px kill, then the
@@ -285,7 +305,7 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
         new_valid &= ~snow_rm
     if not np.array_equal(new_valid, valid) and new_valid.any():
         valid = new_valid
-        out = _ard_fused(*args, jnp.asarray(valid), s1_w)
+        out, sm = dispatch(valid)
         dec = np.asarray(out[6])
 
     # masking rounds: drop dates >90% interpolated, re-mask (:849-919)
@@ -294,7 +314,7 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
         if not rm.any() or rm.all():
             break
         valid = valid & ~rm
-        out = _ard_fused(*args, jnp.asarray(valid), s1_w)
+        out, sm = dispatch(valid)
         dec = np.asarray(out[6])
 
     # fully-interpolated dates: mark invalid and reuse the existing
@@ -303,7 +323,8 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
     # whose pixels are already 100% interpolated; quality-gated by the
     # golden/parity suites)
     fully = (dec[3] > 0) & valid
-    if fully.any() and not fully.all():
+    fully_fired = fully.any() and not fully.all()
+    if fully_fired:
         valid = valid & ~fully
 
     filled, interp, cloudshad, snow, s1, dem = out[:6]
@@ -312,14 +333,25 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
         dates, filled, interp, cloudshad = _take_dates(
             np.setdiff1d(np.arange(cap), keep), dates, filled, interp,
             cloudshad)
-    return ProcessedTile(filled, dates, interp, s1, dem, cloudshad,
+    tile = ProcessedTile(filled, dates, interp, s1, dem, cloudshad,
                          snow)
+    if not smooth:
+        return tile
+    if fully_fired:
+        # the fused smooth ran with the pre-`fully` validity; redo it
+        # on the compacted stack (rare path)
+        return tile, smooth_tile(tile)
+    out12, s2_median, s1_median, clear_count = sm
+    return tile, SmoothedTile(out12, dates, tile.interp, tile.s1,
+                              tile.dem, s2_median, s1_median,
+                              clear_count)
 
 
-@jax.jit
-def _smooth_device(s2, s1, interp, weights):
-    """Device body of smooth_tile: one dispatch for the whole
-    regrid/smooth/median program."""
+def _smooth_body(s2, s1, interp, weights, valid=None):
+    """Device body of smooth_tile: the whole regrid/smooth/median
+    program. `valid` masks fixed-capacity date slots (their regrid
+    weights are zero and interp rows are 1, so only the raw medians
+    need explicit masking)."""
     raw_idx = idx_ops.all_indices(s2)
     regridded_idx = apply_regrid(raw_idx, weights)
     sm = WhittakerSmoother(lmbd=100.0, size=24, outsize=12)
@@ -333,18 +365,45 @@ def _smooth_device(s2, s1, interp, weights):
     # raw medians for the model's 5th step
     # (reference process_subtiles :1152-1160); sorting-network medians
     # over the small static T axis (no XLA sort)
-    med_bands = median_axis0(s2)
-    med_idx = jnp.stack([
-        median_axis0(idx_ops.evi(s2)),
-        median_axis0(idx_ops.bi(s2)),
-        median_axis0(idx_ops.msavi2(s2)),
-        median_axis0(idx_ops.grndvi(s2)),
-    ], axis=-1)
+    if valid is None:
+        med_bands = median_axis0(s2)
+        med_idx = jnp.stack([
+            median_axis0(idx_ops.evi(s2)),
+            median_axis0(idx_ops.bi(s2)),
+            median_axis0(idx_ops.msavi2(s2)),
+            median_axis0(idx_ops.grndvi(s2)),
+        ], axis=-1)
+    else:
+        bad4 = ~valid[:, None, None, None]
+        bad3 = ~valid[:, None, None]
+        med_bands, _ = masked_median_axis0(s2, bad4)
+        med_idx = jnp.stack([
+            masked_median_axis0(idx_ops.evi(s2), bad3)[0],
+            masked_median_axis0(idx_ops.bi(s2), bad3)[0],
+            masked_median_axis0(idx_ops.msavi2(s2), bad3)[0],
+            masked_median_axis0(idx_ops.grndvi(s2), bad3)[0],
+        ], axis=-1)
     s2_median = jnp.concatenate([med_bands, med_idx], axis=-1)
     s1_median = median_axis0(s1)
     clear_count = jnp.sum(interp < 0.33, axis=0).astype(jnp.float32)
     return (out.astype(jnp.float32), s2_median.astype(jnp.float32),
             s1_median.astype(jnp.float32), clear_count)
+
+
+_smooth_device = jax.jit(_smooth_body)
+
+
+@jax.jit
+def _ard_smooth_fused(s2_10, s2_20, s1, dem, valid, s1_weights,
+                      regrid_w):
+    """_ard_fused + the smoothing program in one dispatch — the
+    whole raw -> model-input chain as a single device program for the
+    common no-date-removal case (the host recomputes `regrid_w` and
+    re-dispatches when the decision cascade drops dates)."""
+    outs = _ard_fused(s2_10, s2_20, s1, dem, valid, s1_weights)
+    filled, interp, _, _, s1db, _, _ = outs
+    sm = _smooth_body(filled, s1db, interp, regrid_w, valid=valid)
+    return outs, sm
 
 
 def smooth_tile(tile: ProcessedTile) -> SmoothedTile:
