@@ -193,6 +193,60 @@ def run_infer_only(n_iters: int = 8, warmup: int = 2,
     return 1.0 / dt, dt, args, predictor
 
 
+def measure_upload(n: int = 3):
+    """Host->device transfer of one tile's raw wire payload, synced via
+    a dependent readback (block_until_ready returns before the axon
+    tunnel transfer lands). Returns (MB/tile, seconds list) — makes the
+    link-bandwidth floor visible next to the device-work numbers."""
+    import jax
+
+    from ttc.preprocess.ard import host_prepare
+
+    prep = host_prepare(_raw_tile(0))
+    keys = ("s2_10", "s2_20", "s1", "dem")
+    mb = sum(np.asarray(prep[k]).nbytes for k in keys) / 1e6
+    times = []
+    for i in range(n + 1):
+        fresh = [np.asarray(prep[k]).copy() for k in keys]
+        t0 = time.perf_counter()
+        dev = [jax.device_put(a) for a in fresh]
+        for d in dev:
+            np.asarray(d.reshape(-1)[:1])      # force completion
+        if i > 0:       # round 0 warms the readback-kernel compiles
+            times.append(time.perf_counter() - t0)
+    return mb, times
+
+
+def run_device_resident(predictor, n_iters: int = 3):
+    """Raw->raster with the wire payload ALREADY on device: the full
+    ARD+smooth dispatch, decision readback, predict, and raster
+    readback, but no host->device bulk transfer. This is what a real
+    TPU VM sees per tile (PCIe upload is ~6 ms; the axon tunnel's
+    15-25 MB/s makes upload the wall-time floor here)."""
+    import jax
+
+    from ttc.preprocess.ard import host_prepare, process_tile
+
+    prep = host_prepare(_raw_tile(0))
+    for k in ("s2_10", "s2_20", "s1", "dem"):
+        prep[k] = jax.device_put(prep[k])
+    np.asarray(prep["dem"].reshape(-1)[:1])    # sync the upload
+
+    def once():
+        _, sm = process_tile(prepped=prep, smooth=True)
+        raster = predictor(sm.s2, sm.s1, sm.dem, sm.s2_median,
+                           sm.s1_median, sm.clear_count)
+        return np.asarray(raster)
+
+    once()                                     # warm
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        once()
+        times.append(time.perf_counter() - t0)
+    return times
+
+
 def measure_mfu(predictor, args, dt_per_tile: float):
     """Achieved FLOP/s + MFU of the full tile-inference program from
     XLA's own cost analysis (SURVEY §6 judging axis)."""
@@ -307,6 +361,8 @@ def main():
                                   cloud_fraction=0.5)
     itps, idt, iargs, ipred = run_infer_only(n_iters=4)
     mfu = measure_mfu(ipred, iargs, idt)
+    upload_mb, upload_times = measure_upload()
+    dev_times = run_device_resident(shared[0])
 
     vs_baseline = None
     cpu = {}
@@ -330,6 +386,14 @@ def main():
         "degraded_seconds_per_tile": round(float(np.mean(times_deg)),
                                            3),
         "infer_only_tiles_per_sec": round(itps, 4),
+        "upload_mb_per_tile": round(upload_mb, 1),
+        "upload_seconds_mean": round(float(np.mean(upload_times)), 3),
+        "upload_mb_per_sec": round(
+            upload_mb / float(np.mean(upload_times)), 1),
+        "device_resident_seconds_per_tile": round(
+            float(np.mean(dev_times)), 3),
+        "device_resident_tiles_per_sec": round(
+            1.0 / float(np.mean(dev_times)), 4),
         "weights": origin,
         "n_tiles_timed": len(times_serial),
         "cpu_baseline_note": "BASELINE_LOCAL.json records the same "

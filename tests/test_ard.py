@@ -129,3 +129,27 @@ def test_fused_smooth_matches_two_stage():
         np.testing.assert_array_equal(
             np.asarray(getattr(sm_a, f)), np.asarray(getattr(sm_b, f)),
             err_msg=f)
+
+
+def test_prepped_device_arrays_match_raw_path():
+    """process_tile(prepped=host_prepare(raw)) with pre-device_put
+    arrays must equal process_tile(raw) exactly — the bench's
+    device-resident timing path must not change numerics."""
+    from ttc.preprocess.ard import host_prepare
+
+    backend = FixtureBackend(seed=5, n_dates=9, hw=64)
+    raw = backend.fetch(0, 0, None, 2023)
+
+    tile_a, sm_a = process_tile(raw, smooth=True)
+    prep = host_prepare(raw)
+    for k in ("s2_10", "s2_20", "s1", "dem"):
+        prep[k] = jax.device_put(prep[k])
+    tile_b, sm_b = process_tile(prepped=prep, smooth=True)
+
+    np.testing.assert_array_equal(np.asarray(tile_a.s2),
+                                  np.asarray(tile_b.s2))
+    np.testing.assert_array_equal(tile_a.dates, tile_b.dates)
+    for f in ("s2", "s2_median", "s1_median", "clear_count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sm_a, f)), np.asarray(getattr(sm_b, f)),
+            err_msg=f)

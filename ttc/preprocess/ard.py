@@ -222,23 +222,16 @@ def process_and_smooth_tile(raw: RawTile, make_shadow: bool = True,
                         smooth=True)
 
 
-def process_tile(raw: RawTile, make_shadow: bool = True,
-                 max_mask_rounds: int = 3,
-                 bucket: bool = True, smooth: bool = False):
-    """Raw -> masked/gap-filled datacube.
-
-    One upload of the uint16 stacks, ONE fused device dispatch, ONE
-    (5, T) decision readback in the clean-data case. Date removal
-    re-dispatches the same compiled program with an updated validity
-    mask (no recompiles, no shape changes); `bucket` pads the date
-    axis to the next capacity bucket so production tiles share a
-    handful of compiled shapes. Outputs are compacted to valid dates,
-    preserving the original ProcessedTile contract. With smooth=True
-    the regrid/Whittaker/median program fuses into the same dispatch
-    and (ProcessedTile, SmoothedTile) is returned."""
+def host_prepare(raw: RawTile, make_shadow: bool = True,
+                 bucket: bool = True) -> dict:
+    """Host-side half of process_tile: spatial alignment on the compact
+    raw dtypes + date-axis bucket padding. Returns the exact arrays
+    process_tile uploads (`s2_10 s2_20 s1 dem` keys, still host numpy)
+    plus `dates`, `valid`, `t_raw`, `s1_w`. Callers may device_put the
+    four arrays themselves (overlapping upload with other work) and
+    pass the dict back via process_tile(prepped=...)."""
     dates = np.asarray(raw.s2_dates)
 
-    # host: spatial alignment on the compact raw dtypes, then upload
     width = raw.s2_20.shape[1] * 2
     height = raw.s2_20.shape[2] * 2
     s2_10_h = _adjust_shape(np.asarray(raw.s2_10), width, height)
@@ -262,6 +255,35 @@ def process_tile(raw: RawTile, make_shadow: bool = True,
         s2_10_h = np.pad(s2_10_h, pad)
         s2_20_h = np.pad(s2_20_h, ((0, cap - t_raw),) + ((0, 0),) * 3)
     valid = np.arange(cap) < t_raw
+    return dict(s2_10=s2_10_h, s2_20=s2_20_h, s1=s1_h, dem=dem_h,
+                s1_w=s1_w, dates=dates, valid=valid, t_raw=t_raw,
+                cap=cap)
+
+
+def process_tile(raw: RawTile = None, make_shadow: bool = True,
+                 max_mask_rounds: int = 3,
+                 bucket: bool = True, smooth: bool = False,
+                 prepped: dict = None):
+    """Raw -> masked/gap-filled datacube.
+
+    One upload of the uint16 stacks, ONE fused device dispatch, ONE
+    (5, T) decision readback in the clean-data case. Date removal
+    re-dispatches the same compiled program with an updated validity
+    mask (no recompiles, no shape changes); `bucket` pads the date
+    axis to the next capacity bucket so production tiles share a
+    handful of compiled shapes. Outputs are compacted to valid dates,
+    preserving the original ProcessedTile contract. With smooth=True
+    the regrid/Whittaker/median program fuses into the same dispatch
+    and (ProcessedTile, SmoothedTile) is returned. Pass `prepped`
+    (from host_prepare, arrays possibly already on device) to skip the
+    host prep/upload inside the call."""
+    if prepped is None:
+        prepped = host_prepare(raw, make_shadow=make_shadow,
+                               bucket=bucket)
+    s2_10_h, s2_20_h = prepped["s2_10"], prepped["s2_20"]
+    s1_h, dem_h, s1_w = prepped["s1"], prepped["dem"], prepped["s1_w"]
+    dates, valid = prepped["dates"], prepped["valid"].copy()
+    t_raw, cap = prepped["t_raw"], prepped["cap"]
 
     if not make_shadow or t_raw < 3:
         sentinel2, s1, dem = _ingest(jnp.asarray(s2_10_h),

@@ -6,11 +6,12 @@ align_interp_array and remove_cloud_and_shadows
 888-973) as batched device ops.
 
 The reference's per-date sklearn LinearRegression(positive=True,
-fit_intercept=False) alignment is replaced by a closed-form
-non-negative least squares approximation (normal-equation solve with
-negatives clipped then rescaled) computed on stratified co-clear
-pixels — an intentional deviation verified on final tree-cover output
-rather than internal equality (SURVEY.md "sklearn-in-the-loop").
+fit_intercept=False) alignment (= Lawson-Hanson NNLS) is solved
+exactly on device with accelerated projected gradient (FISTA) on the
+weighted normal equations — a fixed-iteration, jit-compatible program
+that converges to the same KKT point as scipy.optimize.nnls for this
+11-feature system (tests/test_nnls.py), computed on stratified
+co-clear pixels (SURVEY.md "sklearn-in-the-loop").
 """
 from __future__ import annotations
 
@@ -144,22 +145,54 @@ def _masked_std(x, keep):
     return jnp.sqrt(var)
 
 
+def nnls_gram(xtx, xty, n_iters: int = 300):
+    """Non-negative least squares from the Gram system: minimize
+    0.5 c'Ac - b'c s.t. c >= 0, via FISTA projected gradient — the
+    jit-compatible equivalent of sklearn LinearRegression(positive=True,
+    fit_intercept=False) / scipy.optimize.nnls (reference
+    cloud_removal.py:553-555). A = xtx is (F, F); b = xty is (F,) or
+    (F, C) — all C target columns solved simultaneously. Step size
+    1/L with L from 20 power iterations; fixed n_iters keeps the
+    program static under jit."""
+    f = xtx.shape[0]
+    b = xty if xty.ndim == 2 else xty[:, None]
+
+    # Lipschitz constant of the gradient = lambda_max(A), power iter
+    def power(v, _):
+        v = xtx @ v
+        return v / jnp.maximum(jnp.linalg.norm(v), EPS), None
+
+    v0 = jnp.ones((f,), xtx.dtype) / jnp.sqrt(float(f))
+    v, _ = jax.lax.scan(power, v0, None, length=20)
+    lip = jnp.maximum(v @ (xtx @ v), EPS)
+
+    def step(carry, _):
+        c, y, t = carry
+        grad = xtx @ y - b
+        c_new = jnp.maximum(y - grad / lip, 0.0)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = c_new + ((t - 1.0) / t_new) * (c_new - c)
+        return (c_new, y_new, t_new), None
+
+    c0 = jnp.zeros_like(b)
+    (c, _, _), _ = jax.lax.scan(step, (c0, c0, jnp.ones((), xtx.dtype)),
+                                None, length=n_iters)
+    return c if xty.ndim == 2 else c[:, 0]
+
+
 def _nnls_align(features, targets, sample_mask):
-    """Closed-form approximation of LinearRegression(positive=True,
-    fit_intercept=False): weighted normal equations, negatives clipped,
-    solution rescaled to preserve the weighted mean prediction."""
+    """Exact weighted NNLS fit of targets from features — the
+    reference's per-band LinearRegression(positive=True,
+    fit_intercept=False) (cloud_removal.py:553-555), with the
+    stratified sample weights folded into the Gram system instead of
+    index resampling."""
     w = sample_mask.astype(features.dtype)[:, None]
     xtx = (features * w).T @ features
     xty = (features * w).T @ targets
-    ridge = 1e-6 * jnp.trace(xtx) / features.shape[1]
-    coef = jnp.linalg.solve(
-        xtx + ridge * jnp.eye(features.shape[1]), xty)
-    coef = jnp.maximum(coef, 0.0)
-    # rescale so predictions keep the target's weighted mean
-    pred_mean = jnp.sum((features @ coef) * w[:, 0][:, None], axis=0)
-    targ_mean = jnp.sum(targets * w, axis=0)
-    scale = targ_mean / jnp.maximum(pred_mean, EPS)
-    return coef * scale[None, :]
+    # tiny ridge for rank-deficient co-clear sets (all-masked bands)
+    ridge = 1e-7 * jnp.trace(xtx) / features.shape[1]
+    xtx = xtx + ridge * jnp.eye(features.shape[1], dtype=xtx.dtype)
+    return nnls_gram(xtx, xty)
 
 
 def _evi_stratified_weights(targets, mask):
