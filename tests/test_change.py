@@ -277,3 +277,26 @@ def test_filter_gain_px_accepts_real_gain(rng):
     accepted = np.isin(labels, gainpx)
     assert accepted[15, 15]          # planted gain kept
     assert not accepted[45, 45]      # noise patch rejected
+
+
+def test_make_all_kde_many_matches_single(rng):
+    """Multi-tile batched calibration must reproduce the per-tile
+    results bit-exactly: single tiles run through the same padded
+    fixed-width program (make_all_kde is the B=1 case), including
+    tiles with fewer stable pixels than maxpx."""
+    from ttc.change.kde import make_all_kde_many
+
+    maxpx = 150
+    ards, stables = [], []
+    for i, t in enumerate((4, 6)):
+        ard = (rng.standard_normal((t, 24, 24)) * 1500).astype(np.int16)
+        stable = rng.random((24, 24)) < (0.9 if i == 0 else 0.15)
+        ards.append(ard)
+        stables.append(stable)
+
+    batched = make_all_kde_many(ards, stables, maxpx=maxpx, seed=7)
+    for i, (ard, stable) in enumerate(zip(ards, stables)):
+        single = make_all_kde(ard, stable, maxpx=maxpx, seed=7 + i)
+        for a, b, name in zip(batched[i], single,
+                              ("f", "m", "b", "h", "pct")):
+            np.testing.assert_array_equal(a, b, err_msg=name)

@@ -114,8 +114,11 @@ def load_ndmi_stacks(local_path: str, x: int, y: int, start_year: int,
             np.concatenate(dates), n_per_year)
 
 
-def run_change(local_path: str, x: int, y: int, start_year: int,
-               end_year: int, out_dir: str | None = None):
+def _prepare_change_tile(local_path: str, x: int, y: int,
+                         start_year: int, end_year: int) -> dict:
+    """Everything before KDE calibration: load stacks, stable mask,
+    threshold adjustments, 2017 outlier handling. Split out so fleets
+    can batch several tiles' KDE stage in one device dispatch."""
     fs, nans = load_year_stack(local_path, x, y, start_year, end_year)
     ndmi_stack, dates, n_per_year = load_ndmi_stacks(
         local_path, x, y, start_year, end_year)
@@ -148,8 +151,25 @@ def run_change(local_path: str, x: int, y: int, start_year: int,
         if len(ims2018):
             ndmi_stack[:n_per_year[0]] = np.median(ims2018, axis=0)[None]
         fs[0] = np.mean(fs[0:2], axis=0)
+    return dict(fs=fs, nans=nans, ndmi=ndmi_stack, dates=dates,
+                n_per_year=n_per_year, stable=stable,
+                adjustments=adjustments)
 
-    kde5, kde10, kde25, kde2, pct = make_all_kde(ndmi_stack, stable)
+
+def run_change(local_path: str, x: int, y: int, start_year: int,
+               end_year: int, out_dir: str | None = None,
+               prep: dict | None = None, kde: tuple | None = None):
+    if prep is None:
+        prep = _prepare_change_tile(local_path, x, y, start_year,
+                                    end_year)
+    fs, nans = prep["fs"], prep["nans"]
+    ndmi_stack, dates = prep["ndmi"], prep["dates"]
+    n_per_year, stable = prep["n_per_year"], prep["stable"]
+    adjustments = prep["adjustments"]
+
+    if kde is None:
+        kde = make_all_kde(ndmi_stack, stable)
+    kde5, kde10, kde25, kde2, pct = kde
     gain, loss = detect_change(kde5.astype(np.int16),
                                kde10.astype(np.int16),
                                kde25.astype(np.int16),
@@ -199,11 +219,53 @@ def run_change(local_path: str, x: int, y: int, start_year: int,
     return gain, loss
 
 
+def run_change_batch(local_path: str, coords: list, start_year: int,
+                     end_year: int, out_dir: str | None = None):
+    """Process several tiles with the KDE calibration stage batched
+    into ONE device dispatch (ttc.change.kde.make_all_kde_many) — the
+    per-tile results are identical to run_change; only the dispatch
+    and readback latency is amortized. Tiles that fail to load are
+    skipped with a log line."""
+    from ttc.change.kde import make_all_kde_many
+
+    preps, ok_coords = [], []
+    for x, y in coords:
+        try:
+            preps.append(_prepare_change_tile(local_path, x, y,
+                                              start_year, end_year))
+            ok_coords.append((x, y))
+        except (FileNotFoundError, OSError) as exc:
+            log.warning("skipping tile %s/%s: %s", x, y, exc)
+    if not preps:
+        return []
+    kdes = make_all_kde_many([p["ndmi"] for p in preps],
+                             [p["stable"] for p in preps])
+    results = []
+    for (x, y), prep, kde in zip(ok_coords, preps, kdes):
+        results.append(run_change(local_path, x, y, start_year,
+                                  end_year, out_dir, prep=prep,
+                                  kde=kde))
+    return results
+
+
+def _parse_coords(spec: str):
+    """"x1,y1;x2,y2" -> [(x1, y1), (x2, y2)]."""
+    out = []
+    for pair in spec.split(";"):
+        xs, ys = pair.split(",")
+        out.append((int(xs), int(ys)))
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--local_path", default="tiles/")
-    parser.add_argument("--x", type=int, required=True)
-    parser.add_argument("--y", type=int, required=True)
+    parser.add_argument("--x", type=int)
+    parser.add_argument("--y", type=int)
+    parser.add_argument("--tiles", default=None,
+                        help="batch mode: 'x1,y1;x2,y2;...' — KDE "
+                        "calibration for all tiles in one device "
+                        "dispatch")
     parser.add_argument("--start_year", type=int, default=2017)
     parser.add_argument("--end_year", type=int, default=2024)
     parser.add_argument("--out_dir", default=None)
@@ -213,8 +275,14 @@ def main(argv=None):
     from ttc.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    run_change(args.local_path, args.x, args.y, args.start_year,
-               args.end_year, args.out_dir)
+    if args.tiles:
+        run_change_batch(args.local_path, _parse_coords(args.tiles),
+                         args.start_year, args.end_year, args.out_dir)
+    else:
+        if args.x is None or args.y is None:
+            parser.error("--x/--y required (or use --tiles)")
+        run_change(args.local_path, args.x, args.y, args.start_year,
+                   args.end_year, args.out_dir)
 
 
 if __name__ == "__main__":
