@@ -60,7 +60,16 @@ def main():
     np.savez_compressed(
         GOLDEN, raster=raster, dates=tile.dates,
         s2_monthly_mean=sm.s2.mean(axis=(1, 2)),
-        canopy=canopy, deviation_pp=dev)
+        canopy=canopy, deviation_pp=dev,
+        # per-stage summaries: localize drift to masking, gap-fill,
+        # or smoothing instead of only catching it at the raster
+        mask_frac=np.asarray(tile.cloudshad).mean(axis=(1, 2)),
+        interp_frac=np.asarray(tile.interp > 0).mean(axis=(1, 2)),
+        s2_filled_mean=np.asarray(tile.s2).mean(axis=(1, 2, 3)),
+        s2_median_mean=np.asarray(sm.s2_median).mean(axis=(0, 1)),
+        s1_median_mean=np.asarray(sm.s1_median).mean(axis=(0, 1)),
+        clear_count_mean=float(np.asarray(sm.clear_count).mean()),
+        snow_mean=float(np.asarray(tile.snow).mean()))
     print(f"golden written: raster mean {raster[valid].mean():.1f}, "
           f"deviation vs truth {dev:.2f} pp")
 
