@@ -125,3 +125,37 @@ def test_predict_job_pipelined(tmp_path):
     for (x, y), raster in results.items():
         assert raster.shape == (110, 110)
         assert os.path.exists(store.final_tif_path(x, y))
+
+
+@pytest.mark.slow
+def test_predict_job_pipelined_tile_batch(tmp_path):
+    """tile_batch=2 pipelined mode (one device call per tile pair,
+    odd tail padded) must write the same rasters as per-tile calls."""
+    import jax
+
+    from ttc.cli.predict_job import run_tiles_pipelined
+    from ttc.core.config import InferenceConfig
+    from ttc.infer.pipeline import TilePredictor
+    from ttc.io.acquisition import FixtureBackend
+    from ttc.models.unet import TreeCoverNet
+
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    cfg = InferenceConfig(tile_px=110, out_size=66, n_rows=3)
+    backend = FixtureBackend(seed=6, n_dates=8, hw=110)
+    tiles = [(1, 1), (1, 2), (2, 1)]          # odd count: tail pad
+
+    single = TilePredictor(params, cfg, model)
+    store_a = TileStore(str(tmp_path / "a"))
+    ref = run_tiles_pipelined(tiles, 2023, backend, store_a, single)
+
+    paired = TilePredictor(params, cfg, model, tile_batch=2)
+    store_b = TileStore(str(tmp_path / "b"))
+    got = run_tiles_pipelined(tiles, 2023, backend, store_b, paired)
+
+    assert set(got) == set(ref) == set(tiles)
+    for xy in tiles:
+        np.testing.assert_array_equal(np.asarray(ref[xy]),
+                                      np.asarray(got[xy]), err_msg=str(xy))
+        assert os.path.exists(store_b.final_tif_path(*xy))

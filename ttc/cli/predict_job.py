@@ -163,8 +163,10 @@ def prepare_tile(x: int, y: int, year: int, backend, store: TileStore,
 def finish_tile(x: int, y: int, year: int, tile, sm, store: TileStore,
                 predictor, bbox=None, timer: StageTimer | None = None,
                 ul_flag: bool = False, gen_feats: bool = False,
-                save_reseg: bool = False):
-    """Device predict + artifact writes for a prepared tile."""
+                save_reseg: bool = False, raster=None):
+    """Device predict + artifact writes for a prepared tile. Pass
+    `raster` to reuse a prediction computed elsewhere (the pipelined
+    loop's tile-batched predictor)."""
     timer = timer or StageTimer()
 
     # change-detection artifacts: NDMI stack, dates, slope raster
@@ -184,10 +186,11 @@ def finish_tile(x: int, y: int, year: int, tile, sm, store: TileStore,
 
         save_border_strips(store, x, y, sm)
 
-    with timer.stage("predict"):
-        raster = np.asarray(predictor(
-            sm.s2, sm.s1, sm.dem, sm.s2_median, sm.s1_median,
-            sm.clear_count))
+    if raster is None:
+        with timer.stage("predict"):
+            raster = np.asarray(predictor(
+                sm.s2, sm.s1, sm.dem, sm.s2_median, sm.s1_median,
+                sm.clear_count))
 
     if gen_feats:
         import jax.numpy as jnp
@@ -265,8 +268,37 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                                 sr_params=sr_params, timer=timer)
         return x, y, bbox, tile, sm
 
+    tb = getattr(predictor, "tile_batch", 1)
+
+    def _finish_group(group):
+        """Predict a group of prepared tiles in one device call
+        (tile_batch program; short tails are padded by repeating the
+        last tile and the extra outputs dropped), then write each."""
+        rasters = [None] * len(group)
+        if tb > 1:
+            import jax.numpy as jnp
+
+            sms = [g[4] for g in group]
+            pad = [sms[-1]] * (tb - len(sms))
+            with timer.stage("predict"):
+                stacked = [
+                    jnp.stack([jnp.asarray(getattr(s, f))
+                               for s in sms + pad])
+                    for f in ("s2", "s1", "dem", "s2_median",
+                              "s1_median", "clear_count")]
+                out = np.asarray(predictor(*stacked))
+            rasters = [out[i] for i in range(len(sms))]
+        for (x, y, bbox, tile, sm), raster in zip(group, rasters):
+            raster = finish_tile(
+                x, y, year, tile, sm, store, predictor, bbox=bbox,
+                timer=timer, ul_flag=ul_flag, gen_feats=gen_feats,
+                save_reseg=save_reseg, raster=raster)
+            results[(x, y)] = raster
+            log.info("tile %s/%s complete (pipelined)", x, y)
+
     results = {}
     n_exceptions = 0
+    group = []
     with cf.ThreadPoolExecutor(max_workers=prefetch_depth) as pool:
         futures = []
         for xyb in norm_tiles:
@@ -277,13 +309,10 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
             futures.append((xyb, pool.submit(_prepare, xyb)))
         for xyb, fut in futures:
             try:
-                x, y, bbox, tile, sm = fut.result()
-                raster = finish_tile(
-                    x, y, year, tile, sm, store, predictor, bbox=bbox,
-                    timer=timer, ul_flag=ul_flag, gen_feats=gen_feats,
-                    save_reseg=save_reseg)
-                results[(x, y)] = raster
-                log.info("tile %s/%s complete (pipelined)", x, y)
+                group.append(fut.result())
+                if len(group) == max(tb, 1):
+                    _finish_group(group)
+                    group = []
             except KeyboardInterrupt:
                 raise
             except Exception:
@@ -292,6 +321,14 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                               xyb[0], xyb[1], n_exceptions)
                 store.cleanup_tile(xyb[0], xyb[1])
                 time.sleep(10 + 5 * n_exceptions)
+        if group:
+            try:
+                _finish_group(group)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                n_exceptions += 1
+                log.exception("tail group of %d failed", len(group))
     timer.log_report()
     return results
 
@@ -324,6 +361,12 @@ def main(argv=None):
     parser.add_argument("--pipelined", action="store_true",
                         help="overlap host ARD of upcoming tiles with "
                              "device prediction")
+    parser.add_argument("--tile_batch", type=int, default=1,
+                        help="pipelined mode: predict N tiles per "
+                             "device call (windows of all N tiles run "
+                             "as one model batch; ~2x forward "
+                             "throughput at 4). Tiles must share "
+                             "geometry")
     parser.add_argument("--redownload", action="store_true")
     parser.add_argument("--reprocess", action="store_true")
     parser.add_argument("--start", type=int, default=0)
@@ -376,7 +419,9 @@ def main(argv=None):
                   ("tile_px", "out_size", "n_rows")
                   if getattr(args, k) is not None}
     predictor = TilePredictor(params, InferenceConfig(**cfg_kwargs),
-                              model)
+                              model,
+                              tile_batch=(args.tile_batch
+                                          if args.pipelined else 1))
 
     # (x, y, bbox) triples; bbox from the DB's X/Y centroid columns
     if args.db_path:
