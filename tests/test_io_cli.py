@@ -159,3 +159,31 @@ def test_predict_job_pipelined_tile_batch(tmp_path):
         np.testing.assert_array_equal(np.asarray(ref[xy]),
                                       np.asarray(got[xy]), err_msg=str(xy))
         assert os.path.exists(store_b.final_tif_path(*xy))
+
+
+@pytest.mark.slow
+def test_predict_job_blocked(tmp_path):
+    """--block 2: complete 2x2 groups predict as one shared-halo
+    super-tile; leftovers fall back to per-tile. All outputs written."""
+    import jax
+
+    from ttc.cli.predict_job import run_tiles_blocked
+    from ttc.core.config import InferenceConfig
+    from ttc.infer.pipeline import TilePredictor
+    from ttc.io.acquisition import FixtureBackend
+    from ttc.models.unet import TreeCoverNet
+
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    cfg = InferenceConfig(tile_px=110, out_size=66, n_rows=3)
+    predictor = TilePredictor(params, cfg, model)
+    store = TileStore(str(tmp_path))
+    backend = FixtureBackend(seed=9, n_dates=8, hw=110)
+
+    tiles = [(4, 4), (5, 4), (4, 5), (5, 5), (9, 9)]  # block + single
+    results = run_tiles_blocked(tiles, 2023, backend, store, predictor)
+    assert set(results) == set(tiles)
+    for x, y in tiles:
+        assert results[(x, y)].shape == (110, 110)
+        assert os.path.exists(store.final_tif_path(x, y))

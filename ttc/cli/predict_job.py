@@ -333,6 +333,94 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
     return results
 
 
+def run_tiles_blocked(tiles, year, backend, store: TileStore,
+                      predictor, timer: StageTimer | None = None,
+                      ul_flag: bool = False, sr_params=None,
+                      gen_feats: bool = False, save_reseg: bool = False,
+                      grid: int = 2, prefetch_depth: int = 4):
+    """Seam-free mode: tiles forming complete grid x grid blocks are
+    predicted as ONE shared-halo super-tile (ttc.infer.block) — the
+    windows straddle former tile boundaries and the mosaic blends
+    across them, so no interior seams exist and resegmentation is only
+    needed at block edges. Tiles without a complete block fall back to
+    the per-tile path. Tile (x, y+1) is NORTH of (x, y) (core.geo
+    tile_bbox_utm), i.e. block grid row 0.
+
+    `tiles` is a list of (x, y) or (x, y, bbox)."""
+    import concurrent.futures as cf
+
+    from ttc.infer.block import BlockPredictor
+
+    timer = timer or StageTimer("blocked")
+    norm = {(t[0], t[1]): (t[2] if len(t) == 3 else None)
+            for t in tiles}
+    pending = {xy for xy in norm
+               if not store.tile_done(year, xy[0], xy[1])}
+    blocks, singles = [], []
+    for (x, y) in sorted(pending, key=lambda p: (-p[1], p[0])):
+        coords = [[(x + j, y + grid - 1 - i) for j in range(grid)]
+                  for i in range(grid)]
+        flat = [c for row in coords for c in row]
+        if all(c in pending for c in flat):
+            blocks.append(coords)
+            pending -= set(flat)
+    singles = sorted(pending)
+
+    bp = BlockPredictor(predictor.params, predictor.cfg,
+                        predictor.model, grid=grid)
+    results = {}
+    n_exceptions = 0
+    with cf.ThreadPoolExecutor(max_workers=prefetch_depth) as pool:
+        for coords in blocks:
+            flat = [c for row in coords for c in row]
+            try:
+                futs = {c: pool.submit(
+                    prepare_tile, c[0], c[1], year, backend, store,
+                    bbox=norm[c], sr_params=sr_params, timer=timer)
+                    for c in flat}
+                prepped = {c: f.result() for c, f in futs.items()}
+                with timer.stage("predict"):
+                    rasters = bp([[prepped[c][1] for c in row]
+                                  for row in coords])
+                for i, row in enumerate(coords):
+                    for j, c in enumerate(row):
+                        tile, sm = prepped[c]
+                        results[c] = finish_tile(
+                            c[0], c[1], year, tile, sm, store,
+                            predictor, bbox=norm[c], timer=timer,
+                            ul_flag=ul_flag, gen_feats=gen_feats,
+                            save_reseg=save_reseg,
+                            raster=np.asarray(rasters[i][j]))
+                        log.info("tile %s/%s complete (block)", *c)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                n_exceptions += 1
+                log.exception("block %s failed (%d failures)", flat,
+                              n_exceptions)
+                for c in flat:
+                    store.cleanup_tile(*c)
+                time.sleep(10 + 5 * n_exceptions)
+    for (x, y) in singles:
+        try:
+            results[(x, y)] = run_tile(
+                x, y, year, backend, store, predictor,
+                bbox=norm[(x, y)], timer=timer, ul_flag=ul_flag,
+                sr_params=sr_params, gen_feats=gen_feats,
+                save_reseg=save_reseg)
+            log.info("tile %s/%s complete (single)", x, y)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            n_exceptions += 1
+            log.exception("tile %s/%s failed (%d failures)", x, y,
+                          n_exceptions)
+            store.cleanup_tile(x, y)
+            time.sleep(10 + 5 * n_exceptions)
+    timer.log_report()
+    return results
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--country", default="")
@@ -367,6 +455,12 @@ def main(argv=None):
                              "as one model batch; ~2x forward "
                              "throughput at 4). Tiles must share "
                              "geometry")
+    parser.add_argument("--block", type=int, default=0, metavar="G",
+                        help="seam-free mode: predict complete GxG "
+                             "groups of adjacent tiles as one "
+                             "shared-halo super-tile (no interior "
+                             "seams; reseg only needed at block "
+                             "edges). Leftover tiles run per-tile")
     parser.add_argument("--redownload", action="store_true")
     parser.add_argument("--reprocess", action="store_true")
     parser.add_argument("--start", type=int, default=0)
@@ -445,6 +539,14 @@ def main(argv=None):
                          "cannot acquire live imagery without a bbox")
 
     timer = StageTimer("predict_job")
+    if args.block and args.block > 1:
+        run_tiles_blocked(tiles, args.year, backend, store, predictor,
+                          timer=timer, ul_flag=args.ul_flag,
+                          sr_params=sr_params,
+                          gen_feats=args.gen_feats,
+                          save_reseg=args.save_reseg, grid=args.block)
+        return
+
     if args.pipelined:
         run_tiles_pipelined(tiles, args.year, backend, store, predictor,
                             timer=timer, ul_flag=args.ul_flag,
