@@ -75,3 +75,27 @@ def test_identify_pifs_selects_stable(rng):
     # most selected pixels come from the stable half
     assert (idx < n // 2).mean() > 0.7
     assert len(s_sel) == n // 10
+
+
+@pytest.mark.slow
+def test_blocks_sharded_over_mesh():
+    """Country-scale composition (SURVEY §7 step 6): each mesh device
+    predicts one seam-free 2x2 shared-halo block — make_batched_
+    predictor with the block window geometry over stitched inputs."""
+    from ttc.infer.block import block_config
+
+    mesh = make_mesh(8)
+    cfg = InferenceConfig(tile_px=110, out_size=66, n_rows=3)
+    bcfg = block_config(cfg, 2)            # 220 px super-tiles
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    predictor = make_batched_predictor(params, mesh, bcfg, model)
+
+    rng = np.random.default_rng(1)
+    batch = {k: np.stack([v] * 8)
+             for k, v in _tile_inputs(rng, 220).items()}
+    out = np.asarray(predictor(batch))
+    assert out.shape == (8, 220, 220)      # 8 blocks = 32 tiles
+    for i in range(1, 8):
+        np.testing.assert_array_equal(out[i], out[0])
