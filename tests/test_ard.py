@@ -153,3 +153,37 @@ def test_prepped_device_arrays_match_raw_path():
         np.testing.assert_array_equal(
             np.asarray(getattr(sm_a, f)), np.asarray(getattr(sm_b, f)),
             err_msg=f)
+
+
+@pytest.mark.slow
+def test_batched_ard_matches_per_tile():
+    """process_and_smooth_tiles (vmapped fused batch) must match the
+    per-tile path tile-for-tile — including when a heavy-cloud tile
+    triggers cascade re-dispatches that re-run settled tiles (the
+    re-run is idempotent), and when a different date-bucket forces a
+    tile out of the batch group."""
+    from ttc.preprocess.ard import (process_and_smooth_tile,
+                                    process_and_smooth_tiles)
+
+    raws = [
+        FixtureBackend(seed=4, n_dates=9, hw=64).fetch(0, 0, None,
+                                                       2023),
+        FixtureBackend(seed=7, n_dates=9, hw=64,
+                       cloud_fraction=0.6).fetch(0, 0, None, 2023),
+        # n_dates=7 buckets to cap 8 (not 12): exercises group fallback
+        FixtureBackend(seed=2, n_dates=7, hw=64).fetch(0, 0, None,
+                                                       2023),
+    ]
+    batch = process_and_smooth_tiles(raws)
+    assert len(batch) == 3
+    for raw, (tile_b, sm_b) in zip(raws, batch):
+        tile_a, sm_a = process_and_smooth_tile(raw)
+        np.testing.assert_array_equal(tile_a.dates, tile_b.dates)
+        np.testing.assert_allclose(np.asarray(tile_a.s2),
+                                   np.asarray(tile_b.s2),
+                                   rtol=0, atol=1e-6)
+        for f in ("s2", "s2_median", "s1_median", "clear_count"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sm_a, f)),
+                np.asarray(getattr(sm_b, f)), rtol=0, atol=1e-5,
+                err_msg=f)

@@ -369,6 +369,183 @@ def process_tile(raw: RawTile = None, make_shadow: bool = True,
                               clear_count)
 
 
+@jax.jit
+def _ard_fused_batch(s2_10, s2_20, s1, dem, valid, s1_weights):
+    """_ard_fused vmapped over a leading tile axis: B tiles' whole
+    masking/gap-fill chains in ONE device dispatch. Each tile's
+    computation is independent, so results match the per-tile program;
+    batching amortizes dispatch latency and keeps the chip busy
+    between tiles (the per-tile program is dominated by many small
+    VPU stages)."""
+    return jax.vmap(_ard_fused)(s2_10, s2_20, s1, dem, valid,
+                                s1_weights)
+
+
+@jax.jit
+def _ard_fused_batch_nos1w(s2_10, s2_20, s1, dem, valid):
+    def one(a, b, c, d, v):
+        return _ard_fused(a, b, c, d, v, None)
+
+    return jax.vmap(one)(s2_10, s2_20, s1, dem, valid)
+
+
+@jax.jit
+def _ard_smooth_fused_batch(s2_10, s2_20, s1, dem, valid, s1_weights,
+                            regrid_w):
+    return jax.vmap(_ard_smooth_fused)(s2_10, s2_20, s1, dem, valid,
+                                       s1_weights, regrid_w)
+
+
+@jax.jit
+def _ard_smooth_fused_batch_nos1w(s2_10, s2_20, s1, dem, valid,
+                                  regrid_w):
+    def one(a, b, c, d, v, w):
+        return _ard_smooth_fused(a, b, c, d, v, None, w)
+
+    return jax.vmap(one)(s2_10, s2_20, s1, dem, valid, regrid_w)
+
+
+def _process_batch(preps, max_mask_rounds: int, smooth: bool):
+    """Vectorized decision cascade over a batch of same-shape prepped
+    tiles. Mirrors process_tile's cascade row-by-row: a re-dispatch
+    re-runs EVERY tile with its own updated validity row — idempotent
+    for rows that didn't change (the program is deterministic and
+    tiles are independent under vmap), so per-tile semantics are
+    preserved while all tiles share each device dispatch."""
+    b = len(preps)
+    cap = preps[0]["cap"]
+    dates = np.stack([np.pad(p["dates"], (0, cap - p["t_raw"]))
+                      for p in preps])
+    valid = np.stack([p["valid"] for p in preps]).copy()
+    args = tuple(jnp.stack([jnp.asarray(p[k]) for p in preps])
+                 for k in ("s2_10", "s2_20", "s1", "dem"))
+    has_s1w = preps[0]["s1_w"] is not None
+    s1w = (jnp.stack([jnp.asarray(p["s1_w"]) for p in preps])
+           if has_s1w else None)
+
+    def dispatch(v):
+        vj = jnp.asarray(v)
+        if smooth:
+            w = jnp.asarray(np.stack(
+                [regrid_weights(dates[i], v[i])[0] for i in range(b)]))
+            if has_s1w:
+                return _ard_smooth_fused_batch(*args, vj, s1w, w)
+            return _ard_smooth_fused_batch_nos1w(*args, vj, w)
+        if has_s1w:
+            return _ard_fused_batch(*args, vj, s1w), None
+        return _ard_fused_batch_nos1w(*args, vj), None
+
+    out, sm = dispatch(valid)
+    dec = np.asarray(out[6])                   # (B, 5, cap), ONE sync
+
+    # kill + snow step (process_tile's cascade, vectorized over rows)
+    new_valid = valid & ~(dec[:, 0] > 0)
+    snow_rm = (dec[:, 1] > 0.25) & new_valid
+    apply_snow = snow_rm.sum(axis=1) > 10
+    new_valid = np.where(apply_snow[:, None], new_valid & ~snow_rm,
+                         new_valid)
+    changed = (new_valid != valid).any(axis=1) & new_valid.any(axis=1)
+    if changed.any():
+        valid = np.where(changed[:, None], new_valid, valid)
+        out, sm = dispatch(valid)
+        dec = np.asarray(out[6])
+
+    # interpolation-fraction removal rounds
+    for _ in range(max_mask_rounds):
+        rm = (dec[:, 2] > 0.9) & valid
+        rows = rm.any(axis=1) & ~rm.all(axis=1)
+        if not rows.any():
+            break
+        valid = np.where(rows[:, None], valid & ~rm, valid)
+        out, sm = dispatch(valid)
+        dec = np.asarray(out[6])
+
+    fully = (dec[:, 3] > 0) & valid
+    fully_rows = fully.any(axis=1) & ~fully.all(axis=1)
+    valid_final = np.where(fully_rows[:, None], valid & ~fully, valid)
+
+    filled, interp, cloudshad, snow, s1, dem = out[:6]
+    if smooth:
+        out12, s2_med, s1_med, clear = sm
+    results = []
+    for i in range(b):
+        v = valid_final[i]
+        di, fi, ii, ci = dates[i], filled[i], interp[i], cloudshad[i]
+        if not v.all():
+            keep = np.flatnonzero(v)
+            di, fi, ii, ci = _take_dates(
+                np.setdiff1d(np.arange(cap), keep), di, fi, ii, ci)
+        tile = ProcessedTile(fi, di, ii, s1[i], dem[i], ci, snow[i])
+        if not smooth:
+            results.append(tile)
+        elif fully_rows[i]:
+            # fused smooth ran with pre-`fully` validity (rare path)
+            results.append((tile, smooth_tile(tile)))
+        else:
+            results.append((tile, SmoothedTile(
+                out12[i], di, tile.interp, tile.s1, tile.dem,
+                s2_med[i], s1_med[i], clear[i])))
+    return results
+
+
+def process_tiles(raws=None, make_shadow: bool = True,
+                  max_mask_rounds: int = 3, bucket: bool = True,
+                  smooth: bool = True, prepped_list=None):
+    """Batch B tiles through vmapped fused ARD dispatches.
+
+    Production tiles share geometry (618 px) and a handful of date-axis
+    buckets, so most groups batch; tiles that can't share a program
+    (different shapes/buckets, <3 dates, quarterly-vs-legacy S1 mix)
+    fall back to the single-tile path. Returns a list aligned with the
+    inputs: ProcessedTile, or (ProcessedTile, SmoothedTile) when
+    smooth=True."""
+    if prepped_list is None:
+        prepped_list = [host_prepare(r, make_shadow=make_shadow,
+                                     bucket=bucket) for r in raws]
+
+    def single(p):
+        return process_tile(prepped=p, make_shadow=make_shadow,
+                            max_mask_rounds=max_mask_rounds,
+                            bucket=bucket, smooth=smooth)
+
+    if len(prepped_list) == 1 or not make_shadow:
+        return [single(p) for p in prepped_list]
+
+    def sig(p):
+        return (p["cap"], np.asarray(p["s2_10"]).shape[1:],
+                np.asarray(p["s2_20"]).shape[1:],
+                np.asarray(p["s1"]).shape, p["s1_w"] is not None,
+                p["t_raw"] >= 3)
+
+    results = [None] * len(prepped_list)
+    groups: dict = {}
+    for i, p in enumerate(prepped_list):
+        groups.setdefault(sig(p), []).append(i)
+    for key, idxs in groups.items():
+        if len(idxs) == 1 or not key[-1]:
+            for i in idxs:
+                results[i] = single(prepped_list[i])
+            continue
+        batch = [prepped_list[i] for i in idxs]
+        for i, r in zip(idxs, _process_batch(batch, max_mask_rounds,
+                                             smooth)):
+            results[i] = r
+    return results
+
+
+def process_and_smooth_tiles(raws=None, make_shadow: bool = True,
+                             max_mask_rounds: int = 3,
+                             bucket: bool = True, prepped_list=None):
+    """process_and_smooth_tile over a tile batch: ONE vmapped fused
+    device dispatch for the whole group (plus cascade re-dispatches of
+    the same program when any tile drops dates). Returns a list of
+    (ProcessedTile, SmoothedTile)."""
+    return process_tiles(raws, make_shadow=make_shadow,
+                         max_mask_rounds=max_mask_rounds,
+                         bucket=bucket, smooth=True,
+                         prepped_list=prepped_list)
+
+
 def _smooth_body(s2, s1, interp, weights, valid=None):
     """Device body of smooth_tile: the whole regrid/smooth/median
     program. `valid` masks fixed-capacity date slots (their regrid
