@@ -187,3 +187,45 @@ def test_batched_ard_matches_per_tile():
                 np.asarray(getattr(sm_a, f)),
                 np.asarray(getattr(sm_b, f)), rtol=0, atol=1e-5,
                 err_msg=f)
+
+
+@pytest.mark.slow
+def test_batched_ard_with_sr_matches_per_tile():
+    """process_and_smooth_tiles(sr_params=...) — super-resolution fused
+    between the batched masking and smoothing dispatches — must match
+    the explicit per-tile sequence process -> superresolve -> smooth,
+    including when the cascade drops dates (SR must land on the final
+    validity, never a pre-cascade stack)."""
+    import jax.numpy as jnp
+
+    from ttc.models.superres import superresolve_tile
+    from ttc.preprocess.ard import process_and_smooth_tiles
+
+    rng = jax.random.PRNGKey(0)
+    from ttc.models.superres import SuperResolver
+
+    sr_params = SuperResolver().init(
+        rng, np.zeros((1, 16, 16, 10), np.float32),
+        np.zeros((1, 16, 16, 6), np.float32))
+
+    raws = [
+        FixtureBackend(seed=4, n_dates=9, hw=64).fetch(0, 0, None,
+                                                       2023),
+        FixtureBackend(seed=7, n_dates=9, hw=64,
+                       cloud_fraction=0.6).fetch(0, 0, None, 2023),
+    ]
+    batch = process_and_smooth_tiles(raws, sr_params=sr_params)
+    assert len(batch) == 2
+    for raw, (tile_b, sm_b) in zip(raws, batch):
+        tile_a = process_tile(raw)
+        tile_a.s2 = superresolve_tile(sr_params, jnp.asarray(tile_a.s2))
+        sm_a = smooth_tile(tile_a)
+        np.testing.assert_array_equal(tile_a.dates, tile_b.dates)
+        np.testing.assert_allclose(np.asarray(tile_a.s2),
+                                   np.asarray(tile_b.s2),
+                                   rtol=0, atol=1e-5)
+        for f in ("s2", "s2_median", "s1_median", "clear_count"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sm_a, f)),
+                np.asarray(getattr(sm_b, f)), rtol=0, atol=1e-4,
+                err_msg=f)

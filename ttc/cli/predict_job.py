@@ -249,11 +249,17 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                         ul_flag: bool = False, sr_params=None,
                         gen_feats: bool = False, save_reseg: bool = False,
                         prefetch_depth: int = 2):
-    """Throughput mode: fetch + ARD of upcoming tiles runs in
-    background threads while the device predicts the current one — the
-    replacement for the reference's strictly serial per-tile loop
+    """Throughput mode: fetch + host prep of upcoming tiles runs in
+    background threads while the device works on the current group —
+    the replacement for the reference's strictly serial per-tile loop
     (BASELINE config 5 host-overlap requirement). Per-tile failures are
     contained with the same backoff as the serial loop.
+
+    With tile_batch > 1, the whole device pipeline batches: groups of
+    N tiles run masking/gap-fill/SR/Whittaker as vmapped fused ARD
+    dispatches (ttc.preprocess.ard.process_and_smooth_tiles) and the
+    forward as one tile-batched model call — amortizing dispatch
+    latency across the group end to end.
 
     `tiles` is a list of (x, y) or (x, y, bbox)."""
     import concurrent.futures as cf
@@ -261,14 +267,24 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
     timer = timer or StageTimer("pipelined")
     norm_tiles = [t if len(t) == 3 else (t[0], t[1], None)
                   for t in tiles]
+    tb = getattr(predictor, "tile_batch", 1)
 
     def _prepare(xyb):
         x, y, bbox = xyb
+        if tb > 1:
+            # host half only — the device ARD runs batched in
+            # _finish_group
+            from ttc.preprocess.ard import host_prepare
+
+            store.make_tile_folders(x, y)
+            with timer.stage("download"):
+                raw = backend.fetch(x, y, bbox, year)
+            with timer.stage("host_prep"):
+                prep = host_prepare(raw)
+            return x, y, bbox, prep, None
         tile, sm = prepare_tile(x, y, year, backend, store, bbox=bbox,
                                 sr_params=sr_params, timer=timer)
         return x, y, bbox, tile, sm
-
-    tb = getattr(predictor, "tile_batch", 1)
 
     def _finish_group(group):
         """Predict a group of prepared tiles in one device call
@@ -278,6 +294,15 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
         if tb > 1:
             import jax.numpy as jnp
 
+            from ttc.preprocess.ard import process_and_smooth_tiles
+
+            with timer.stage("ard"):
+                processed = process_and_smooth_tiles(
+                    prepped_list=[g[3] for g in group],
+                    sr_params=sr_params)
+            group = [(x, y, bbox, tile, sm)
+                     for (x, y, bbox, _, _), (tile, sm)
+                     in zip(group, processed)]
             sms = [g[4] for g in group]
             pad = [sms[-1]] * (tb - len(sms))
             with timer.stage("predict"):

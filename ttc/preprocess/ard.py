@@ -405,7 +405,27 @@ def _ard_smooth_fused_batch_nos1w(s2_10, s2_20, s1, dem, valid,
     return jax.vmap(one)(s2_10, s2_20, s1, dem, valid, regrid_w)
 
 
-def _process_batch(preps, max_mask_rounds: int, smooth: bool):
+@jax.jit
+def _sr_smooth_fused_batch(sr_params, s2, s1, interp, valid, regrid_w):
+    """Batched super-resolution + smoothing tail: sharpen bands 4:10 of
+    each tile's fixed-capacity filled stack (the SR CNN treats dates
+    independently, so padded slots are discarded unchanged), then the
+    full regrid/Whittaker/median program — one dispatch for the whole
+    group. Mirrors the per-tile prepare path: process -> SR -> smooth
+    (reference: src/download_and_predict_job.py:95-147,1057-1096)."""
+    from ttc.models.superres import SuperResolver, superresolve_tile
+
+    model = SuperResolver()
+
+    def one(a, b, c, v, w):
+        sr = superresolve_tile(sr_params, a, model)
+        return (sr,) + _smooth_body(sr, b, c, w, valid=v)
+
+    return jax.vmap(one)(s2, s1, interp, valid, regrid_w)
+
+
+def _process_batch(preps, max_mask_rounds: int, smooth: bool,
+                   sr_params=None):
     """Vectorized decision cascade over a batch of same-shape prepped
     tiles. Mirrors process_tile's cascade row-by-row: a re-dispatch
     re-runs EVERY tile with its own updated validity row — idempotent
@@ -425,7 +445,7 @@ def _process_batch(preps, max_mask_rounds: int, smooth: bool):
 
     def dispatch(v):
         vj = jnp.asarray(v)
-        if smooth:
+        if smooth and sr_params is None:
             w = jnp.asarray(np.stack(
                 [regrid_weights(dates[i], v[i])[0] for i in range(b)]))
             if has_s1w:
@@ -465,7 +485,18 @@ def _process_batch(preps, max_mask_rounds: int, smooth: bool):
     valid_final = np.where(fully_rows[:, None], valid & ~fully, valid)
 
     filled, interp, cloudshad, snow, s1, dem = out[:6]
-    if smooth:
+    if smooth and sr_params is not None:
+        # SR interposes between masking and smoothing: one batched
+        # SR+smooth dispatch with the FINAL validity (so no rare-path
+        # redo is needed)
+        w_final = jnp.asarray(np.stack(
+            [regrid_weights(dates[i], valid_final[i])[0]
+             for i in range(b)]))
+        filled, out12, s2_med, s1_med, clear = _sr_smooth_fused_batch(
+            sr_params, filled, s1, interp, jnp.asarray(valid_final),
+            w_final)
+        fully_rows[:] = False
+    elif smooth:
         out12, s2_med, s1_med, clear = sm
     results = []
     for i in range(b):
@@ -490,23 +521,36 @@ def _process_batch(preps, max_mask_rounds: int, smooth: bool):
 
 def process_tiles(raws=None, make_shadow: bool = True,
                   max_mask_rounds: int = 3, bucket: bool = True,
-                  smooth: bool = True, prepped_list=None):
+                  smooth: bool = True, prepped_list=None,
+                  sr_params=None):
     """Batch B tiles through vmapped fused ARD dispatches.
 
     Production tiles share geometry (618 px) and a handful of date-axis
     buckets, so most groups batch; tiles that can't share a program
     (different shapes/buckets, <3 dates, quarterly-vs-legacy S1 mix)
-    fall back to the single-tile path. Returns a list aligned with the
-    inputs: ProcessedTile, or (ProcessedTile, SmoothedTile) when
-    smooth=True."""
+    fall back to the single-tile path. With `sr_params`, the 20 m-band
+    super-resolution runs batched between masking and smoothing
+    (requires smooth=True) — the full production prepare stage as
+    grouped device dispatches. Returns a list aligned with the inputs:
+    ProcessedTile, or (ProcessedTile, SmoothedTile) when smooth=True."""
+    if sr_params is not None and not smooth:
+        raise ValueError("sr_params requires smooth=True")
     if prepped_list is None:
         prepped_list = [host_prepare(r, make_shadow=make_shadow,
                                      bucket=bucket) for r in raws]
 
     def single(p):
-        return process_tile(prepped=p, make_shadow=make_shadow,
+        if sr_params is None:
+            return process_tile(prepped=p, make_shadow=make_shadow,
+                                max_mask_rounds=max_mask_rounds,
+                                bucket=bucket, smooth=smooth)
+        from ttc.models.superres import superresolve_tile
+
+        tile = process_tile(prepped=p, make_shadow=make_shadow,
                             max_mask_rounds=max_mask_rounds,
-                            bucket=bucket, smooth=smooth)
+                            bucket=bucket, smooth=False)
+        tile.s2 = superresolve_tile(sr_params, jnp.asarray(tile.s2))
+        return tile, smooth_tile(tile)
 
     if len(prepped_list) == 1 or not make_shadow:
         return [single(p) for p in prepped_list]
@@ -528,14 +572,15 @@ def process_tiles(raws=None, make_shadow: bool = True,
             continue
         batch = [prepped_list[i] for i in idxs]
         for i, r in zip(idxs, _process_batch(batch, max_mask_rounds,
-                                             smooth)):
+                                             smooth, sr_params)):
             results[i] = r
     return results
 
 
 def process_and_smooth_tiles(raws=None, make_shadow: bool = True,
                              max_mask_rounds: int = 3,
-                             bucket: bool = True, prepped_list=None):
+                             bucket: bool = True, prepped_list=None,
+                             sr_params=None):
     """process_and_smooth_tile over a tile batch: ONE vmapped fused
     device dispatch for the whole group (plus cascade re-dispatches of
     the same program when any tile drops dates). Returns a list of
@@ -543,7 +588,8 @@ def process_and_smooth_tiles(raws=None, make_shadow: bool = True,
     return process_tiles(raws, make_shadow=make_shadow,
                          max_mask_rounds=max_mask_rounds,
                          bucket=bucket, smooth=True,
-                         prepped_list=prepped_list)
+                         prepped_list=prepped_list,
+                         sr_params=sr_params)
 
 
 def _smooth_body(s2, s1, interp, weights, valid=None):
