@@ -155,6 +155,62 @@ def run_full(n_tiles: int = 5, warmup: bool = True,
     return 1.0 / mean_dt, times, origin
 
 
+def run_full_grouped(n_tiles: int = 6, tile_batch: int = 2,
+                     warmup: bool = True, predictor=None,
+                     cloud_fraction: float = 0.05):
+    """Raw -> raster in the shipped fastest mode
+    (predict_job --pipelined --tile_batch N): host prep + upload of
+    upcoming tiles in prefetch threads, then groups of N tiles run the
+    vmapped fused ARD+smooth program and one tile-batched forward —
+    every device stage amortizes dispatch across the group.
+    Returns (tiles/sec, seconds/tile, origin)."""
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+
+    from ttc.preprocess.ard import host_prepare, process_and_smooth_tiles
+
+    if predictor is None:
+        predictor, origin = _build_predictor(tile_batch)
+    else:
+        predictor, origin = predictor
+    raws = [_raw_tile(s, cloud_fraction) for s in range(n_tiles)]
+
+    def prep(raw):
+        p = host_prepare(raw)
+        for k in ("s2_10", "s2_20", "s1", "dem"):
+            p[k] = jax.device_put(p[k])
+        return p
+
+    def predict_group(preps):
+        outs = process_and_smooth_tiles(prepped_list=preps)
+        sms = [sm for _, sm in outs]
+        pad = [sms[-1]] * (tile_batch - len(sms))
+        stacked = [
+            jnp.stack([jnp.asarray(getattr(s, f)) for s in sms + pad])
+            for f in ("s2", "s1", "dem", "s2_median", "s1_median",
+                      "clear_count")]
+        return np.asarray(predictor(*stacked))[:len(sms)]
+
+    if warmup:
+        predict_group([prep(raws[0])] * tile_batch)
+
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(prep, raw) for raw in raws]
+        group = []
+        for fut in futs:
+            group.append(fut.result())
+            if len(group) == tile_batch:
+                predict_group(group)
+                group = []
+        if group:
+            predict_group(group)
+    wall = time.perf_counter() - t0
+    return n_tiles / wall, wall / n_tiles, origin
+
+
 def run_infer_only(n_iters: int = 8, warmup: int = 2,
                    tile_batch: int = 4, predictor=None):
     """Measured window-batch scaling on v5e (618 px, bf16, trained
@@ -355,12 +411,15 @@ def main():
         return
 
     shared = _build_predictor()
-    # clean-config headline: pipelined wall-clock over >=5 tiles
+    # clean-config: pipelined wall-clock over >=5 tiles
     tps, times_pipe, origin = run_full(predictor=shared)
     # serial loop with per-stage wall times (reuse the warm predictor)
     stages: dict = {}
     stps, times_serial, _ = run_full(warmup=False, pipelined=False,
                                      predictor=shared, stages=stages)
+    # shipped fastest mode: tile-batched grouped device dispatches
+    # (predict_job --pipelined --tile_batch 2)
+    gtps, g_spt, _ = run_full_grouped()
     # degraded-data config (BASELINE config 4): heavy cloud cover
     # exercising the masker relaxation + date-decision paths
     dtps, times_deg, _ = run_full(n_tiles=3, predictor=shared,
@@ -370,10 +429,10 @@ def main():
     upload_mb, upload_times = measure_upload()
     dev_times = run_device_resident(shared[0])
 
-    # headline = the better of pipelined/serial: the 1-core host +
-    # shared tunnel here sometimes make the prefetch threads slower
-    # than the serial loop; production picks the better mode
-    headline = max(tps, stps)
+    # headline = the best production mode: grouped (tile-batched),
+    # per-tile pipelined, or serial — the 1-core host + shared tunnel
+    # here sometimes flip their order; production picks the best
+    headline = max(tps, stps, gtps)
     vs_baseline = None
     cpu = {}
     if os.path.exists(CPU_BASELINE_FILE):
@@ -383,8 +442,12 @@ def main():
             vs_baseline = round(
                 headline / cpu["cpu_full_tiles_per_sec"], 2)
 
+    mode = {tps: "pipelined", stps: "serial",
+            gtps: "grouped_tile_batch2"}[headline]
     sub = {
-        "headline_mode": "pipelined" if tps >= stps else "serial",
+        "headline_mode": mode,
+        "grouped_tiles_per_sec": round(gtps, 4),
+        "grouped_seconds_per_tile": round(g_spt, 3),
         "pipelined_tiles_per_sec": round(tps, 4),
         "full_seconds_per_tile_mean": round(
             float(np.mean(times_pipe)), 3),

@@ -273,7 +273,12 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
         x, y, bbox = xyb
         if tb > 1:
             # host half only — the device ARD runs batched in
-            # _finish_group
+            # _finish_group. Upload the wire arrays here so the
+            # host->device transfer of upcoming tiles overlaps with the
+            # current group's device work (upload is the wall-time
+            # floor on slow links).
+            import jax
+
             from ttc.preprocess.ard import host_prepare
 
             store.make_tile_folders(x, y)
@@ -281,6 +286,8 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                 raw = backend.fetch(x, y, bbox, year)
             with timer.stage("host_prep"):
                 prep = host_prepare(raw)
+                for k in ("s2_10", "s2_20", "s1", "dem"):
+                    prep[k] = jax.device_put(prep[k])
             return x, y, bbox, prep, None
         tile, sm = prepare_tile(x, y, year, backend, store, bbox=bbox,
                                 sr_params=sr_params, timer=timer)

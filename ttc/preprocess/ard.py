@@ -556,10 +556,11 @@ def process_tiles(raws=None, make_shadow: bool = True,
         return [single(p) for p in prepped_list]
 
     def sig(p):
-        return (p["cap"], np.asarray(p["s2_10"]).shape[1:],
-                np.asarray(p["s2_20"]).shape[1:],
-                np.asarray(p["s1"]).shape, p["s1_w"] is not None,
-                p["t_raw"] >= 3)
+        # .shape only — never np.asarray here: prep arrays may already
+        # live on device (pipelined upload overlap) and materializing
+        # them would read the whole tile back through the host link
+        return (p["cap"], p["s2_10"].shape[1:], p["s2_20"].shape[1:],
+                p["s1"].shape, p["s1_w"] is not None, p["t_raw"] >= 3)
 
     results = [None] * len(prepped_list)
     groups: dict = {}
