@@ -44,6 +44,7 @@ WEIGHTS = os.path.join(HERE, "weights", "treecover.npz")
 HW = 618
 N_DATES = 12
 V5E_BF16_PEAK = 197e12      # TPU v5e per-chip bf16 peak FLOP/s
+TILE_BATCH = 4              # production default (measured knee, TODO.md)
 
 
 def _load_params(model_cls):
@@ -155,7 +156,7 @@ def run_full(n_tiles: int = 5, warmup: bool = True,
     return 1.0 / mean_dt, times, origin
 
 
-def run_full_grouped(n_tiles: int = 6, tile_batch: int = 2,
+def run_full_grouped(n_tiles: int = 8, tile_batch: int = TILE_BATCH,
                      warmup: bool = True, predictor=None,
                      cloud_fraction: float = 0.05):
     """Raw -> raster in the shipped fastest mode
@@ -418,11 +419,11 @@ def main():
     stps, times_serial, _ = run_full(warmup=False, pipelined=False,
                                      predictor=shared, stages=stages)
     # shipped fastest mode: tile-batched grouped device dispatches
-    # (predict_job --pipelined --tile_batch 2)
+    # (predict_job --pipelined --tile_batch 4, the production default)
     gtps, g_spt, _ = run_full_grouped()
     # degraded-data config (BASELINE config 4): heavy cloud cover
     # exercising the masker relaxation + date-decision paths
-    dtps, times_deg, _ = run_full(n_tiles=3, predictor=shared,
+    dtps, times_deg, _ = run_full(n_tiles=5, predictor=shared,
                                   cloud_fraction=0.5)
     itps, idt, iargs, ipred = run_infer_only(n_iters=4)
     mfu = measure_mfu(ipred, iargs, idt)
@@ -432,7 +433,8 @@ def main():
     # headline = the best production mode: grouped (tile-batched),
     # per-tile pipelined, or serial — the 1-core host + shared tunnel
     # here sometimes flip their order; production picks the best
-    headline = max(tps, stps, gtps)
+    headline, mode = max([(tps, "pipelined"), (stps, "serial"),
+                          (gtps, "grouped_tile_batch%d" % TILE_BATCH)])
     vs_baseline = None
     cpu = {}
     if os.path.exists(CPU_BASELINE_FILE):
@@ -441,9 +443,6 @@ def main():
         if "cpu_full_tiles_per_sec" in cpu:
             vs_baseline = round(
                 headline / cpu["cpu_full_tiles_per_sec"], 2)
-
-    mode = {tps: "pipelined", stps: "serial",
-            gtps: "grouped_tile_batch2"}[headline]
     sub = {
         "headline_mode": mode,
         "grouped_tiles_per_sec": round(gtps, 4),
@@ -461,6 +460,11 @@ def main():
         "degraded_tiles_per_sec": round(dtps, 4),
         "degraded_seconds_per_tile": round(float(np.mean(times_deg)),
                                            3),
+        "degraded_note": "degraded can run FASTER than clean: 50% "
+        "cloud cover makes the decision cascade drop most dates, so "
+        "the surviving stack pads to a smaller date bucket (T=8 vs "
+        "12) — less masking/regrid/smoothing work per tile despite "
+        "the extra cascade re-dispatches",
         "infer_only_tiles_per_sec": round(itps, 4),
         "upload_mb_per_tile": round(upload_mb, 1),
         "upload_seconds_mean": round(float(np.mean(upload_times)), 3),

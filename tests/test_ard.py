@@ -189,6 +189,56 @@ def test_batched_ard_matches_per_tile():
                 err_msg=f)
 
 
+def test_batched_ard_mixed_dtypes_fall_back():
+    """Tiles whose wire arrays have different dtypes must NOT share a
+    vmap batch group: jnp.stack would silently promote uint16 ->
+    float32 and skip _ingest's dtype-dispatched decode. The float32
+    (pre-decoded) tile falls back to the single-tile path and both
+    results still match the per-tile reference."""
+    from ttc.preprocess.ard import (host_prepare,
+                                    process_and_smooth_tile,
+                                    process_and_smooth_tiles)
+
+    raw_a = FixtureBackend(seed=4, n_dates=9, hw=64).fetch(0, 0, None,
+                                                           2023)
+    raw_b = FixtureBackend(seed=5, n_dates=9, hw=64).fetch(0, 0, None,
+                                                           2023)
+    preps = [host_prepare(raw_a), host_prepare(raw_b)]
+    assert preps[0]["s2_10"].dtype == np.uint16
+    # pre-decode tile b's S2 stacks to float32 (legacy float wire)
+    for k in ("s2_10", "s2_20"):
+        preps[1][k] = (preps[1][k].astype(np.float32) / 65535.0)
+
+    batch = process_and_smooth_tiles(prepped_list=preps)
+    for raw, (tile_b, sm_b) in zip((raw_a, raw_b), batch):
+        _, sm_a = process_and_smooth_tile(raw)
+        np.testing.assert_allclose(np.asarray(sm_a.s2),
+                                   np.asarray(sm_b.s2), rtol=0,
+                                   atol=1e-5)
+
+
+def test_batched_ard_pad_to_matches_unpadded():
+    """pad_to pads short groups by repeating the last prep so they
+    reuse the compiled tile_batch-size program; results must be
+    identical to the unpadded batch (extra outputs dropped)."""
+    from ttc.preprocess.ard import process_and_smooth_tiles
+
+    raws = [
+        FixtureBackend(seed=4, n_dates=9, hw=64).fetch(0, 0, None,
+                                                       2023),
+        FixtureBackend(seed=5, n_dates=9, hw=64).fetch(0, 0, None,
+                                                       2023),
+    ]
+    ref = process_and_smooth_tiles(raws)
+    got = process_and_smooth_tiles(raws, pad_to=4)
+    assert len(got) == len(ref) == 2
+    for (_, sm_a), (_, sm_b) in zip(ref, got):
+        for f in ("s2", "s2_median", "s1_median", "clear_count"):
+            np.testing.assert_array_equal(np.asarray(getattr(sm_a, f)),
+                                          np.asarray(getattr(sm_b, f)),
+                                          err_msg=f)
+
+
 @pytest.mark.slow
 def test_batched_ard_with_sr_matches_per_tile():
     """process_and_smooth_tiles(sr_params=...) — super-resolution fused

@@ -162,6 +162,63 @@ def test_predict_job_pipelined_tile_batch(tmp_path):
 
 
 @pytest.mark.slow
+def test_predict_job_pipelined_failure_containment(tmp_path,
+                                                   monkeypatch):
+    """Failures are contained per kind: a fetch/prep failure drops only
+    the failed tile (already-prepared groupmates stay queued for the
+    next flush); a device-side group failure abandons exactly that
+    group and later groups realign to the compiled batch size."""
+    import jax
+
+    import ttc.cli.predict_job as pj
+    from ttc.core.config import InferenceConfig
+    from ttc.infer.pipeline import TilePredictor
+    from ttc.io.acquisition import FixtureBackend
+    from ttc.models.unet import TreeCoverNet
+
+    monkeypatch.setattr(pj.time, "sleep", lambda s: None)
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    cfg = InferenceConfig(tile_px=110, out_size=66, n_rows=3)
+    paired = TilePredictor(params, cfg, model, tile_batch=2)
+    tiles = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1)]
+
+    class FailingFetch(FixtureBackend):
+        def fetch(self, x, y, bbox, year):
+            if (x, y) == (1, 2):
+                raise RuntimeError("injected fetch failure")
+            return super().fetch(x, y, bbox, year)
+
+    backend = FailingFetch(seed=6, n_dates=8, hw=110)
+    store = TileStore(str(tmp_path / "fetch"))
+    got = pj.run_tiles_pipelined(tiles, 2023, backend, store, paired)
+    assert sorted(got) == [(1, 1), (2, 1), (2, 2), (3, 1)]
+
+    # device-side failure: poison exactly one group flush
+    # (_finish_group imports from ttc.preprocess.ard, so patch there)
+    import ttc.preprocess.ard as ard_mod
+
+    backend_ok = FixtureBackend(seed=6, n_dates=8, hw=110)
+    store_b = TileStore(str(tmp_path / "group"))
+    real = ard_mod.process_and_smooth_tiles
+    calls = {"n": 0}
+
+    def poisoned(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected group failure")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ard_mod, "process_and_smooth_tiles", poisoned)
+    got_b = pj.run_tiles_pipelined(tiles, 2023, backend_ok, store_b,
+                                   paired)
+    # first group (2 tiles) abandoned; remaining 3 complete (2 + tail)
+    assert sorted(got_b) == [(2, 1), (2, 2), (3, 1)]
+    assert calls["n"] == 3
+
+
+@pytest.mark.slow
 def test_predict_job_blocked(tmp_path):
     """--block 2: complete 2x2 groups predict as one shared-halo
     super-tile; leftovers fall back to per-tile. All outputs written."""

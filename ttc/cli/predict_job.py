@@ -306,7 +306,7 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
             with timer.stage("ard"):
                 processed = process_and_smooth_tiles(
                     prepped_list=[g[3] for g in group],
-                    sr_params=sr_params)
+                    sr_params=sr_params, pad_to=tb)
             group = [(x, y, bbox, tile, sm)
                      for (x, y, bbox, _, _), (tile, sm)
                      in zip(group, processed)]
@@ -339,28 +339,45 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                          xyb[0], xyb[1])
                 continue
             futures.append((xyb, pool.submit(_prepare, xyb)))
-        for xyb, fut in futures:
+        def _flush(members):
+            """Run _finish_group, containing failures: a device-side
+            group failure abandons every member (all unwritten, so each
+            partial dir is cleaned) and the NEXT group starts empty —
+            otherwise tiles would pile into one oversized tail group
+            that can never match the compiled batch shape."""
+            nonlocal n_exceptions
             try:
-                group.append(fut.result())
-                if len(group) == max(tb, 1):
-                    _finish_group(group)
-                    group = []
+                _finish_group(members)
             except KeyboardInterrupt:
                 raise
             except Exception:
+                n_exceptions += 1
+                log.exception("group of %d failed (%d failures)",
+                              len(members), n_exceptions)
+                for g in members:
+                    store.cleanup_tile(g[0], g[1])
+                time.sleep(10 + 5 * n_exceptions)
+
+        for xyb, fut in futures:
+            try:
+                prepared = fut.result()
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                # a fetch/prep failure drops only THIS tile; tiles
+                # already prepared stay queued for the next flush
                 n_exceptions += 1
                 log.exception("tile %s/%s failed (%d failures)",
                               xyb[0], xyb[1], n_exceptions)
                 store.cleanup_tile(xyb[0], xyb[1])
                 time.sleep(10 + 5 * n_exceptions)
+                continue
+            group.append(prepared)
+            if len(group) >= max(tb, 1):
+                _flush(group)
+                group = []
         if group:
-            try:
-                _finish_group(group)
-            except KeyboardInterrupt:
-                raise
-            except Exception:
-                n_exceptions += 1
-                log.exception("tail group of %d failed", len(group))
+            _flush(group)
     timer.log_report()
     return results
 
@@ -481,12 +498,12 @@ def main(argv=None):
     parser.add_argument("--pipelined", action="store_true",
                         help="overlap host ARD of upcoming tiles with "
                              "device prediction")
-    parser.add_argument("--tile_batch", type=int, default=1,
+    parser.add_argument("--tile_batch", type=int, default=4,
                         help="pipelined mode: predict N tiles per "
                              "device call (windows of all N tiles run "
                              "as one model batch; ~2x forward "
-                             "throughput at 4). Tiles must share "
-                             "geometry")
+                             "throughput at the measured knee of 4, "
+                             "the default). Tiles must share geometry")
     parser.add_argument("--block", type=int, default=0, metavar="G",
                         help="seam-free mode: predict complete GxG "
                              "groups of adjacent tiles as one "

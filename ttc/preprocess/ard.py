@@ -425,13 +425,20 @@ def _sr_smooth_fused_batch(sr_params, s2, s1, interp, valid, regrid_w):
 
 
 def _process_batch(preps, max_mask_rounds: int, smooth: bool,
-                   sr_params=None):
+                   sr_params=None, pad_to=None):
     """Vectorized decision cascade over a batch of same-shape prepped
     tiles. Mirrors process_tile's cascade row-by-row: a re-dispatch
     re-runs EVERY tile with its own updated validity row — idempotent
     for rows that didn't change (the program is deterministic and
     tiles are independent under vmap), so per-tile semantics are
-    preserved while all tiles share each device dispatch."""
+    preserved while all tiles share each device dispatch.
+
+    `pad_to` pads short groups by repeating the last prep (extra
+    results dropped) so e.g. an odd tail group reuses the compiled
+    tile_batch-sized program instead of paying a cold compile."""
+    b_real = len(preps)
+    if pad_to is not None and b_real < pad_to:
+        preps = list(preps) + [preps[-1]] * (pad_to - b_real)
     b = len(preps)
     cap = preps[0]["cap"]
     dates = np.stack([np.pad(p["dates"], (0, cap - p["t_raw"]))
@@ -516,13 +523,13 @@ def _process_batch(preps, max_mask_rounds: int, smooth: bool,
             results.append((tile, SmoothedTile(
                 out12[i], di, tile.interp, tile.s1, tile.dem,
                 s2_med[i], s1_med[i], clear[i])))
-    return results
+    return results[:b_real]
 
 
 def process_tiles(raws=None, make_shadow: bool = True,
                   max_mask_rounds: int = 3, bucket: bool = True,
                   smooth: bool = True, prepped_list=None,
-                  sr_params=None):
+                  sr_params=None, pad_to=None):
     """Batch B tiles through vmapped fused ARD dispatches.
 
     Production tiles share geometry (618 px) and a handful of date-axis
@@ -559,21 +566,31 @@ def process_tiles(raws=None, make_shadow: bool = True,
         # .shape only — never np.asarray here: prep arrays may already
         # live on device (pipelined upload overlap) and materializing
         # them would read the whole tile back through the host link
+        # dtypes matter too: _ingest dispatches decode on dtype
+        # (uint16 scale vs float32 passthrough, quarterly uint16 S1 vs
+        # legacy float), so mixed-dtype tiles must not share a batch —
+        # jnp.stack would silently promote and skip the decode
         return (p["cap"], p["s2_10"].shape[1:], p["s2_20"].shape[1:],
-                p["s1"].shape, p["s1_w"] is not None, p["t_raw"] >= 3)
+                p["s1"].shape, p["s1_w"] is not None, p["t_raw"] >= 3,
+                tuple(str(p[k].dtype) for k in ("s2_10", "s2_20", "s1",
+                                                "dem")))
 
     results = [None] * len(prepped_list)
     groups: dict = {}
     for i, p in enumerate(prepped_list):
         groups.setdefault(sig(p), []).append(i)
     for key, idxs in groups.items():
-        if len(idxs) == 1 or not key[-1]:
+        # with pad_to, even singleton groups ride the padded batched
+        # program (reusing the compiled tile_batch shape) instead of
+        # cold-compiling the single-tile program
+        if key[5] is False or (len(idxs) == 1 and pad_to is None):
             for i in idxs:
                 results[i] = single(prepped_list[i])
             continue
         batch = [prepped_list[i] for i in idxs]
         for i, r in zip(idxs, _process_batch(batch, max_mask_rounds,
-                                             smooth, sr_params)):
+                                             smooth, sr_params,
+                                             pad_to=pad_to)):
             results[i] = r
     return results
 
@@ -581,7 +598,7 @@ def process_tiles(raws=None, make_shadow: bool = True,
 def process_and_smooth_tiles(raws=None, make_shadow: bool = True,
                              max_mask_rounds: int = 3,
                              bucket: bool = True, prepped_list=None,
-                             sr_params=None):
+                             sr_params=None, pad_to=None):
     """process_and_smooth_tile over a tile batch: ONE vmapped fused
     device dispatch for the whole group (plus cascade re-dispatches of
     the same program when any tile drops dates). Returns a list of
@@ -590,7 +607,7 @@ def process_and_smooth_tiles(raws=None, make_shadow: bool = True,
                          max_mask_rounds=max_mask_rounds,
                          bucket=bucket, smooth=True,
                          prepped_list=prepped_list,
-                         sr_params=sr_params)
+                         sr_params=sr_params, pad_to=pad_to)
 
 
 def _smooth_body(s2, s1, interp, weights, valid=None):
