@@ -1,0 +1,145 @@
+"""Cross-chip seam-free block prediction (shard_map + halo exchange).
+
+Pins the contracts of ttc.infer.block_sharded.ShardedBlockPredictor:
+
+1. The block raster is BIT-IDENTICAL for any device count — the
+   4-device mesh run (ICI halo exchange of window borders + parity-
+   plane mosaic combine + all_gathered agreement median) equals the
+   single-device run of the same program exactly. This is the
+   SURVEY §7 step 6 guarantee: sharding a 4x4 super-tile over the mesh
+   changes nothing but memory-per-chip.
+2. Against the single-chip BlockPredictor program (one jnp.sum-tree
+   mosaic) the raster agrees up to quantization of the last float ulp:
+   a sparse sprinkling of ±1 uint8 steps, no structural difference.
+3. Former tile boundaries inside the sharded block carry no seam.
+4. Decompositions that would need more than one-hop halo exchange are
+   rejected with a clear error.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ttc.core.config import InferenceConfig
+from ttc.infer.block import block_config
+from ttc.infer.block_sharded import ShardedBlockPredictor, strip_geometry
+from ttc.models.unet import TreeCoverNet
+
+WEIGHTS = os.path.join(os.path.dirname(__file__), "..", "weights",
+                       "treecover.npz")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(WEIGHTS),
+                                reason="release weights missing")
+
+CFG = InferenceConfig(tile_px=84, out_size=42, n_rows=3)
+GRID = 4
+
+
+def _smooth_field(rng, shape, blur: int = 7):
+    from scipy.ndimage import uniform_filter1d
+
+    x = rng.random(shape).astype(np.float32)
+    for ax in (-3, -2) if len(shape) >= 3 else (-2, -1):
+        x = uniform_filter1d(x, blur, axis=ax)
+    return x
+
+
+def _scene(hw: int, rng):
+    return (0.15 + 0.5 * _smooth_field(rng, (12, hw, hw, 14)),
+            0.2 + 0.5 * _smooth_field(rng, (12, hw, hw, 2)),
+            _smooth_field(rng, (hw, hw, 1))[..., 0] * 0.3,
+            0.15 + 0.5 * _smooth_field(rng, (hw, hw, 14)),
+            0.2 + 0.5 * _smooth_field(rng, (hw, hw, 2)),
+            np.full((hw, hw), 8.0, np.float32))
+
+
+@pytest.fixture(scope="module")
+def setup(rng_module=None):
+    from ttc.train.checkpoint import load_params_npz
+
+    params = load_params_npz(WEIGHTS)
+    model = TreeCoverNet()
+    rng = np.random.default_rng(11)
+    arrs = _scene(CFG.tile_px * GRID, rng)
+    return params, model, arrs
+
+
+@pytest.mark.slow
+def test_sharded_block_bit_identical_across_mesh_sizes(setup):
+    params, model, arrs = setup
+    sp4 = ShardedBlockPredictor(params, CFG, model, grid=GRID,
+                                devices=jax.devices()[:4])
+    r4 = np.asarray(sp4.predict_arrays(*arrs))
+    sp1 = ShardedBlockPredictor(params, CFG, model, grid=GRID,
+                                devices=jax.devices()[:1])
+    r1 = np.asarray(sp1.predict_arrays(*arrs))
+    np.testing.assert_array_equal(r4, r1)
+
+    # the 4-device raster agrees with the single-chip BlockPredictor
+    # program up to last-ulp quantization (different mosaic summation
+    # tree): |delta| <= 1 uint8 step on a vanishing pixel fraction
+    import jax.numpy as jnp
+
+    from ttc.infer.pipeline import predict_tile
+
+    whole = np.asarray(jax.jit(
+        lambda *a: predict_tile(*a, model=model,
+                                cfg=block_config(CFG, GRID)))(
+        params, *[jnp.asarray(a) for a in arrs]))
+    d = np.abs(r4.astype(np.int32) - whole.astype(np.int32))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 1e-3, (d > 0).mean()
+
+    # no seam at any former tile boundary inside the block
+    px = CFG.tile_px
+    r = r4.astype(np.float32)
+    base = np.abs(np.diff(r, axis=0)).mean()
+    for b in range(1, GRID):
+        h = np.abs(r[b * px - 1, :] - r[b * px, :]).mean()
+        v = np.abs(r[:, b * px - 1] - r[:, b * px]).mean()
+        assert h <= 2.0 * base and v <= 2.0 * base, (b, h, v, base)
+
+
+@pytest.mark.slow
+def test_sharded_block_tile_grid_interface(setup):
+    """The BlockPredictor-style grid-of-SmoothedTiles interface slices
+    back into per-tile rasters that reassemble the block exactly."""
+    import types
+
+    params, model, arrs = setup
+    px = CFG.tile_px
+    s2, s1, dem, s2m, s1m, clear = arrs
+
+    def quadrant(i, j):
+        sh = slice(i * px, (i + 1) * px)
+        sw = slice(j * px, (j + 1) * px)
+        return types.SimpleNamespace(
+            s2=s2[:, sh, sw], s1=s1[:, sh, sw], dem=dem[sh, sw],
+            s2_median=s2m[sh, sw], s1_median=s1m[sh, sw],
+            clear_count=clear[sh, sw])
+
+    sp = ShardedBlockPredictor(params, CFG, model, grid=GRID,
+                               devices=jax.devices()[:4])
+    tiles = sp([[quadrant(i, j) for j in range(GRID)]
+                for i in range(GRID)])
+    reassembled = np.block([[np.asarray(tiles[i][j])
+                             for j in range(GRID)]
+                            for i in range(GRID)])
+    direct = np.asarray(sp.predict_arrays(*arrs))
+    np.testing.assert_array_equal(reassembled, direct)
+
+
+def test_strip_geometry_validation():
+    bc = block_config(CFG, GRID)          # 336 px, 12 window rows
+    g = strip_geometry(bc, 4)
+    assert g.hs == 84 and g.rpd == 3
+    assert g.in_lead <= g.hs and g.in_trail <= g.hs
+    # 8 does not divide 12 window rows
+    with pytest.raises(ValueError):
+        strip_geometry(bc, 8)
+    # production geometry: a 4x4 block of 618 px tiles over 8 chips
+    gp = strip_geometry(block_config(InferenceConfig(), 4), 8)
+    assert gp.hs == 309 and gp.rpd == 3
+    assert gp.out_lead + gp.out_trail <= gp.hs

@@ -244,3 +244,33 @@ def test_predict_job_blocked(tmp_path):
     for x, y in tiles:
         assert results[(x, y)].shape == (110, 110)
         assert os.path.exists(store.final_tif_path(x, y))
+
+
+@pytest.mark.slow
+def test_predict_job_blocked_sharded(tmp_path):
+    """--block 2 --block_sharded: the super-tile runs SPMD over the
+    largest compatible subset of the virtual mesh (strip sharding +
+    halo exchange) and still writes every raster."""
+    import jax
+
+    from ttc.cli.predict_job import run_tiles_blocked
+    from ttc.core.config import InferenceConfig
+    from ttc.infer.pipeline import TilePredictor
+    from ttc.io.acquisition import FixtureBackend
+    from ttc.models.unet import TreeCoverNet
+
+    model = TreeCoverNet()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 5, 28, 28, 17), np.float32))
+    cfg = InferenceConfig(tile_px=110, out_size=66, n_rows=3)
+    predictor = TilePredictor(params, cfg, model)
+    store = TileStore(str(tmp_path))
+    backend = FixtureBackend(seed=9, n_dates=8, hw=110)
+
+    tiles = [(4, 4), (5, 4), (4, 5), (5, 5)]
+    results = run_tiles_blocked(tiles, 2023, backend, store, predictor,
+                                sharded=True)
+    assert set(results) == set(tiles)
+    for x, y in tiles:
+        assert results[(x, y)].shape == (110, 110)
+        assert os.path.exists(store.final_tif_path(x, y))

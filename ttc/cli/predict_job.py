@@ -386,7 +386,8 @@ def run_tiles_blocked(tiles, year, backend, store: TileStore,
                       predictor, timer: StageTimer | None = None,
                       ul_flag: bool = False, sr_params=None,
                       gen_feats: bool = False, save_reseg: bool = False,
-                      grid: int = 2, prefetch_depth: int = 4):
+                      grid: int = 2, prefetch_depth: int = 4,
+                      sharded: bool = False):
     """Seam-free mode: tiles forming complete grid x grid blocks are
     predicted as ONE shared-halo super-tile (ttc.infer.block) — the
     windows straddle former tile boundaries and the mosaic blends
@@ -394,6 +395,11 @@ def run_tiles_blocked(tiles, year, backend, store: TileStore,
     needed at block edges. Tiles without a complete block fall back to
     the per-tile path. Tile (x, y+1) is NORTH of (x, y) (core.geo
     tile_bbox_utm), i.e. block grid row 0.
+
+    `sharded` runs each block SPMD over every visible chip
+    (ttc.infer.block_sharded): the super-tile is split into horizontal
+    strips with ICI halo exchange, so blocks beyond single-chip memory
+    (4x4+) stay seam-free. Bit-identical for any chip count.
 
     `tiles` is a list of (x, y) or (x, y, bbox)."""
     import concurrent.futures as cf
@@ -415,8 +421,14 @@ def run_tiles_blocked(tiles, year, backend, store: TileStore,
             pending -= set(flat)
     singles = sorted(pending)
 
-    bp = BlockPredictor(predictor.params, predictor.cfg,
-                        predictor.model, grid=grid)
+    if sharded:
+        from ttc.infer.block_sharded import ShardedBlockPredictor
+
+        bp = ShardedBlockPredictor(predictor.params, predictor.cfg,
+                                   predictor.model, grid=grid)
+    else:
+        bp = BlockPredictor(predictor.params, predictor.cfg,
+                            predictor.model, grid=grid)
     results = {}
     n_exceptions = 0
     with cf.ThreadPoolExecutor(max_workers=prefetch_depth) as pool:
@@ -510,6 +522,11 @@ def main(argv=None):
                              "shared-halo super-tile (no interior "
                              "seams; reseg only needed at block "
                              "edges). Leftover tiles run per-tile")
+    parser.add_argument("--block_sharded", action="store_true",
+                        help="with --block: run each super-tile SPMD "
+                             "over all visible chips (strip sharding "
+                             "+ ICI halo exchange) so 4x4+ blocks fit "
+                             "beyond single-chip memory")
     parser.add_argument("--redownload", action="store_true")
     parser.add_argument("--reprocess", action="store_true")
     parser.add_argument("--start", type=int, default=0)
@@ -593,7 +610,8 @@ def main(argv=None):
                           timer=timer, ul_flag=args.ul_flag,
                           sr_params=sr_params,
                           gen_feats=args.gen_feats,
-                          save_reseg=args.save_reseg, grid=args.block)
+                          save_reseg=args.save_reseg, grid=args.block,
+                          sharded=args.block_sharded)
         return
 
     if args.pipelined:
