@@ -109,7 +109,7 @@ def run_full(n_tiles: int = 5, warmup: bool = True,
     Returns (tiles/sec from mean, per-tile seconds list, origin)."""
     import concurrent.futures as cf
 
-    from ttc.preprocess.ard import process_and_smooth_tile
+    from ttc.preprocess.ard import host_prepare, process_tile
 
     if predictor is None:
         predictor, origin = _build_predictor()
@@ -120,7 +120,10 @@ def run_full(n_tiles: int = 5, warmup: bool = True,
     def prep(raw):
         # fused single-dispatch ARD+smooth (bit-exact vs the two-stage
         # path, tests/test_ard.py::test_fused_smooth_matches_two_stage)
-        return process_and_smooth_tile(raw)[1]
+        # on the production compact wire (drift-gated,
+        # tests/test_wire_gate.py)
+        prepped = host_prepare(raw, wire="compact")
+        return process_tile(prepped=prepped, smooth=True)[1]
 
     def predict(sm):
         raster = predictor(sm.s2, sm.s1, sm.dem, sm.s2_median,
@@ -179,9 +182,11 @@ def run_full_grouped(n_tiles: int = 8, tile_batch: int = TILE_BATCH,
     raws = [_raw_tile(s, cloud_fraction) for s in range(n_tiles)]
 
     def prep(raw):
-        p = host_prepare(raw)
-        for k in ("s2_10", "s2_20", "s1", "dem"):
-            p[k] = jax.device_put(p[k])
+        p = host_prepare(raw, wire="compact")
+        for k in ("s2_10", "s2_20", "s1", "dem", "s2_10_sc",
+                  "s2_20_sc"):
+            if p.get(k) is not None:
+                p[k] = jax.device_put(p[k])
         return p
 
     def predict_group(preps):
@@ -210,6 +215,118 @@ def run_full_grouped(n_tiles: int = 8, tile_batch: int = TILE_BATCH,
             predict_group(group)
     wall = time.perf_counter() - t0
     return n_tiles / wall, wall / n_tiles, origin
+
+
+def run_sustained(n_tiles: int = 64, tile_batch: int = TILE_BATCH,
+                  distinct: int = 8, predictor=None):
+    """Country-scale sustained streaming (BASELINE config 5 at bench
+    scale): n_tiles tiles through the shipped pipelined tile-batched
+    path back-to-back, measuring sustained tiles/sec plus peak host
+    RSS and device memory. Cycles `distinct` cached fixture raws (the
+    device does full per-tile work either way; synthesizing 64 unique
+    618 px scenes on the 1-core host would take hours and measure the
+    fixture generator, not the pipeline). Reference equivalent:
+    plantations_job.sh multi-day country loops."""
+    import concurrent.futures as cf
+    import resource
+
+    import jax
+    import jax.numpy as jnp
+
+    from ttc.preprocess.ard import host_prepare, process_and_smooth_tiles
+
+    if predictor is None:
+        predictor, _ = _build_predictor(tile_batch)
+    else:
+        predictor, _ = predictor
+    raws = [_raw_tile(s % distinct) for s in range(n_tiles)]
+
+    def prep(raw):
+        p = host_prepare(raw, wire="compact")
+        for k in ("s2_10", "s2_20", "s1", "dem", "s2_10_sc",
+                  "s2_20_sc"):
+            if p.get(k) is not None:
+                p[k] = jax.device_put(p[k])
+        return p
+
+    def predict_group(preps):
+        outs = process_and_smooth_tiles(prepped_list=preps,
+                                        pad_to=tile_batch)
+        sms = [sm for _, sm in outs]
+        pad = [sms[-1]] * (tile_batch - len(sms))
+        stacked = [
+            jnp.stack([jnp.asarray(getattr(s, f)) for s in sms + pad])
+            for f in ("s2", "s1", "dem", "s2_median", "s1_median",
+                      "clear_count")]
+        return np.asarray(predictor(*stacked))[:len(sms)]
+
+    predict_group([prep(raws[0])] * tile_batch)      # warm
+    t0 = time.perf_counter()
+    done = 0
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(prep, raw) for raw in raws]
+        group = []
+        for fut in futs:
+            group.append(fut.result())
+            if len(group) == tile_batch:
+                done += len(predict_group(group))
+                group = []
+        if group:
+            done += len(predict_group(group))
+    wall = time.perf_counter() - t0
+    assert done == n_tiles, (done, n_tiles)
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    dev_mb = None
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            dev_mb = stats["peak_bytes_in_use"] / 1e6
+    except Exception:
+        pass
+    return {"sustained_tiles": n_tiles,
+            "sustained_tiles_per_sec": round(n_tiles / wall, 4),
+            "sustained_wall_seconds": round(wall, 1),
+            "sustained_peak_host_rss_mb": round(rss_mb, 0),
+            **({"sustained_peak_device_mb": round(dev_mb, 0)}
+               if dev_mb else {})}
+
+
+def run_change(n_years: int = 8, t: int = 72, hw: int = HW,
+               n_iters: int = 2):
+    """Change-detection chain at production scale: KDE percentile
+    calibration (device, ttc.change.kde.make_all_kde — the reference's
+    known CPU hot spot, scipy gaussian_kde per image over 8 years,
+    change.py:245-297) + the full detect_change raster logic on a
+    (72, 618, 618) NDMI stack. Returns per-tile seconds split by
+    stage."""
+    from ttc.change.kde import make_all_kde
+    from ttc.change.pipeline import detect_change
+
+    rng = np.random.default_rng(0)
+    dates = np.sort(rng.integers(0, n_years * 365, t))
+    base = rng.normal(3000, 1500, (hw, hw))
+    ndmi = (base[None] + rng.normal(0, 600, (t, hw, hw))).astype(
+        np.int16)
+    stable = rng.random((hw, hw)) < 0.3
+    fs = (rng.random((n_years, hw, hw)) * 100).astype(np.float32)
+
+    make_all_kde(ndmi, stable)                      # warm compile
+    kde_s, det_s = [], []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        kde5, kde10, kde25, kde2, _ = make_all_kde(ndmi, stable)
+        t1 = time.perf_counter()
+        detect_change(kde5.astype(np.int16), kde10.astype(np.int16),
+                      kde25.astype(np.int16), kde2.astype(np.int16),
+                      dates, fs)
+        kde_s.append(t1 - t0)
+        det_s.append(time.perf_counter() - t1)
+    return {"change_kde_seconds_per_tile": round(
+                float(np.mean(kde_s)), 3),
+            "change_detect_seconds_per_tile": round(
+                float(np.mean(det_s)), 3),
+            "change_seconds_per_tile": round(
+                float(np.mean(kde_s) + np.mean(det_s)), 3)}
 
 
 def run_infer_only(n_iters: int = 8, warmup: int = 2,
@@ -265,9 +382,12 @@ def measure_upload(n: int = 3):
 
     from ttc.preprocess.ard import host_prepare
 
-    prep = host_prepare(_raw_tile(0))
-    keys = ("s2_10", "s2_20", "s1", "dem")
-    mb = sum(np.asarray(prep[k]).nbytes for k in keys) / 1e6
+    from ttc.io.wire import wire_nbytes
+
+    prep = host_prepare(_raw_tile(0), wire="compact")
+    keys = [k for k in ("s2_10", "s2_20", "s1", "dem", "s2_10_sc",
+                        "s2_20_sc") if prep.get(k) is not None]
+    mb = wire_nbytes(prep) / 1e6
     times = []
     for i in range(n + 1):
         fresh = [np.asarray(prep[k]).copy() for k in keys]
@@ -290,9 +410,10 @@ def run_device_resident(predictor, n_iters: int = 3):
 
     from ttc.preprocess.ard import host_prepare, process_tile
 
-    prep = host_prepare(_raw_tile(0))
-    for k in ("s2_10", "s2_20", "s1", "dem"):
-        prep[k] = jax.device_put(prep[k])
+    prep = host_prepare(_raw_tile(0), wire="compact")
+    for k in ("s2_10", "s2_20", "s1", "dem", "s2_10_sc", "s2_20_sc"):
+        if prep.get(k) is not None:
+            prep[k] = jax.device_put(prep[k])
     np.asarray(prep["dem"].reshape(-1)[:1])    # sync the upload
 
     def once():
@@ -382,6 +503,11 @@ def main():
                                          tile_batch=1)
         baseline["cpu_tiles_per_sec"] = itps
         baseline["seconds_per_tile"] = idt
+        ch = run_change(n_iters=1)
+        baseline["cpu_change_seconds_per_tile"] = \
+            ch["change_seconds_per_tile"]
+        baseline["cpu_change_kde_seconds_per_tile"] = \
+            ch["change_kde_seconds_per_tile"]
         with open(CPU_BASELINE_FILE, "w") as f:
             json.dump(baseline, f, indent=1)
         print(json.dumps({"metric": "cpu-baseline full-pipeline",
@@ -420,7 +546,10 @@ def main():
                                      predictor=shared, stages=stages)
     # shipped fastest mode: tile-batched grouped device dispatches
     # (predict_job --pipelined --tile_batch 4, the production default)
-    gtps, g_spt, _ = run_full_grouped()
+    grouped_pred = _build_predictor(TILE_BATCH)
+    gtps, g_spt, _ = run_full_grouped(predictor=grouped_pred)
+    # country-scale sustained stream over the same warm programs
+    sustained = run_sustained(predictor=grouped_pred)
     # degraded-data config (BASELINE config 4): heavy cloud cover
     # exercising the masker relaxation + date-decision paths
     dtps, times_deg, _ = run_full(n_tiles=5, predictor=shared,
@@ -482,6 +611,11 @@ def main():
         "harness) — the reference's full TF1+sklearn stack is not "
         "runnable in this image",
     }
+    sub.update(sustained)
+    sub.update(run_change())
+    if "cpu_change_seconds_per_tile" in cpu:
+        sub["cpu_change_seconds_per_tile"] = round(
+            cpu["cpu_change_seconds_per_tile"], 2)
     if mfu:
         sub.update(mfu)
     if "reference_masker_seconds" in cpu:

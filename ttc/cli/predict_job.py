@@ -248,7 +248,7 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                         predictor, timer: StageTimer | None = None,
                         ul_flag: bool = False, sr_params=None,
                         gen_feats: bool = False, save_reseg: bool = False,
-                        prefetch_depth: int = 2):
+                        prefetch_depth: int = 2, wire: str = "compact"):
     """Throughput mode: fetch + host prep of upcoming tiles runs in
     background threads while the device works on the current group —
     the replacement for the reference's strictly serial per-tile loop
@@ -259,7 +259,9 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
     N tiles run masking/gap-fill/SR/Whittaker as vmapped fused ARD
     dispatches (ttc.preprocess.ard.process_and_smooth_tiles) and the
     forward as one tile-batched model call — amortizing dispatch
-    latency across the group end to end.
+    latency across the group end to end. Uploads default to the
+    compact wire codec (ttc.io.wire, ~28 MB/tile instead of 58;
+    wire="uint16" restores the reference's raw format).
 
     `tiles` is a list of (x, y) or (x, y, bbox)."""
     import concurrent.futures as cf
@@ -285,9 +287,11 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
             with timer.stage("download"):
                 raw = backend.fetch(x, y, bbox, year)
             with timer.stage("host_prep"):
-                prep = host_prepare(raw)
-                for k in ("s2_10", "s2_20", "s1", "dem"):
-                    prep[k] = jax.device_put(prep[k])
+                prep = host_prepare(raw, wire=wire)
+                for k in ("s2_10", "s2_20", "s1", "dem", "s2_10_sc",
+                          "s2_20_sc"):
+                    if prep.get(k) is not None:
+                        prep[k] = jax.device_put(prep[k])
             return x, y, bbox, prep, None
         tile, sm = prepare_tile(x, y, year, backend, store, bbox=bbox,
                                 sr_params=sr_params, timer=timer)
@@ -522,6 +526,12 @@ def main(argv=None):
                              "shared-halo super-tile (no interior "
                              "seams; reseg only needed at block "
                              "edges). Leftover tiles run per-tile")
+    parser.add_argument("--wire", default="compact",
+                        choices=["compact", "uint16"],
+                        help="pipelined host->device payload codec: "
+                             "compact (int8 reference+residual planes, "
+                             "~28 MB/tile, drift-gated) or the "
+                             "reference's raw uint16 (58 MB/tile)")
     parser.add_argument("--block_sharded", action="store_true",
                         help="with --block: run each super-tile SPMD "
                              "over all visible chips (strip sharding "
@@ -541,6 +551,15 @@ def main(argv=None):
     parser.add_argument("--backend", default="fixture",
                         choices=["fixture", "forest", "sentinelhub"])
     args = parser.parse_args(argv)
+
+    # fleet workers / CI set TTC_PLATFORM=cpu to run off the TPU (the
+    # environment's sitecustomize pins JAX_PLATFORMS, so plain env
+    # vars don't stick — jax.config before backend init does)
+    plat = os.environ.get("TTC_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     from ttc.utils.logging import setup_logging
     setup_logging()
@@ -619,7 +638,7 @@ def main(argv=None):
                             timer=timer, ul_flag=args.ul_flag,
                             sr_params=sr_params,
                             gen_feats=args.gen_feats,
-                            save_reseg=args.save_reseg)
+                            save_reseg=args.save_reseg, wire=args.wire)
         return
 
     n_exceptions = 0

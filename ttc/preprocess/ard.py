@@ -118,29 +118,45 @@ def _take_dates(to_rm, dates, *arrays):
 
 
 @jax.jit
-def _ingest(s2_10, s2_20, s1, dem, s1_weights=None):
+def _ingest(s2_10, s2_20, s1, dem, s1_weights=None, wire_sc=None):
     """Decode + align + assemble the raw stacks in one device dispatch:
-    uint16 decode, S1 dB conversion + quarterly->monthly expansion,
+    wire decode, S1 dB conversion + quarterly->monthly expansion,
     DEM median filter, 20 m band upsample + concat (reference:
     :735-783, tof_downloading.py:75-95).
 
-    The preferred S1 wire format is (4, H, W, 2) uint16 LINEAR
-    quarterly composites (6 MB instead of 37 MB of monthly float32 —
-    host->device bandwidth is the pipeline's scarcest resource);
-    `s1_weights` is the (24, 4) host-precomputed biweekly regrid
-    matrix for the quarter dates. Legacy monthly stacks (float32 dB or
-    uint16) pass through unchanged."""
-    if s2_10.dtype == jnp.uint16:
+    Wire formats, dispatched statically on dtype/shape:
+    - int8 S2 stacks + `wire_sc` scales: the compact companded-residual
+      codec (ttc.io.wire, ~28 MB/tile) — the production default;
+      host->device bandwidth is the pipeline's scarcest resource
+    - uint16 S2 stacks: the reference's to_int16 format (58 MB/tile)
+    - S1: (4, ., ., 2) uint16 LINEAR quarterly composites with
+      `s1_weights` the (24, 4) host-precomputed biweekly regrid
+      matrix; at half resolution they are bilinearly upsampled on
+      device first (the acquisition is 20 m native). Legacy monthly
+      stacks (float32 dB or uint16) pass through unchanged
+    - DEM slope: fixed-scale uint16 or float32 degrees."""
+    from ttc.io.wire import decode_s2_compact, decode_slope_u16
+
+    if s2_10.dtype == jnp.int8:
+        s2_10 = decode_s2_compact(s2_10, wire_sc["s2_10"])
+    elif s2_10.dtype == jnp.uint16:
         s2_10 = from_uint16(s2_10)
     else:
         s2_10 = s2_10.astype(jnp.float32)
-    if s2_20.dtype == jnp.uint16:
+    if s2_20.dtype == jnp.int8:
+        s2_20 = decode_s2_compact(s2_20, wire_sc["s2_20"])
+    elif s2_20.dtype == jnp.uint16:
         s2_20 = from_uint16(s2_20)
     else:
         s2_20 = s2_20.astype(jnp.float32)
+    if dem.dtype == jnp.uint16:
+        dem = decode_slope_u16(dem)
     if s1.shape[0] == 4 and s1.dtype == jnp.uint16 \
             and s1_weights is not None:
-        db = to_db(from_uint16(s1), 22)
+        lin = from_uint16(s1)
+        if lin.shape[1] != dem.shape[0]:       # native 20 m wire
+            lin = resize_bilinear(lin, dem.shape[:2])
+        db = to_db(lin, 22)
         s24 = apply_regrid(db, s1_weights)
         # 24 biweekly -> 12 monthly: median of each pair == pair mean
         s1 = 0.5 * (s24[0::2] + s24[1::2])
@@ -171,7 +187,8 @@ def _snow_screen(sentinel2):
 
 
 @jax.jit
-def _ard_fused(s2_10, s2_20, s1, dem, valid, s1_weights=None):
+def _ard_fused(s2_10, s2_20, s1, dem, valid, s1_weights=None,
+               wire_sc=None):
     """The whole masking/gap-fill chain in ONE device dispatch with
     zero host syncs: ingest -> missing/snow decisions -> extreme fill
     -> cloud/shadow masking -> feathered weights -> gap fill ->
@@ -180,7 +197,8 @@ def _ard_fused(s2_10, s2_20, s1, dem, valid, s1_weights=None):
     re-dispatches the SAME compiled program with an updated mask only
     when dates must be dropped (reference behavior: np.delete + full
     re-run per stage, src/download_and_predict_job.py:641-995)."""
-    sentinel2, s1db, demf = _ingest(s2_10, s2_20, s1, dem, s1_weights)
+    sentinel2, s1db, demf = _ingest(s2_10, s2_20, s1, dem, s1_weights,
+                                    wire_sc)
     kill = id_missing_px(sentinel2, valid, thresh=2)
     snow, snow_frac = _snow_screen_body(sentinel2, valid)
     sentinel2 = fill_extremes_with_median(sentinel2, valid)
@@ -223,13 +241,19 @@ def process_and_smooth_tile(raw: RawTile, make_shadow: bool = True,
 
 
 def host_prepare(raw: RawTile, make_shadow: bool = True,
-                 bucket: bool = True) -> dict:
+                 bucket: bool = True, wire: str = "uint16") -> dict:
     """Host-side half of process_tile: spatial alignment on the compact
     raw dtypes + date-axis bucket padding. Returns the exact arrays
     process_tile uploads (`s2_10 s2_20 s1 dem` keys, still host numpy)
     plus `dates`, `valid`, `t_raw`, `s1_w`. Callers may device_put the
     four arrays themselves (overlapping upload with other work) and
-    pass the dict back via process_tile(prepped=...)."""
+    pass the dict back via process_tile(prepped=...).
+
+    wire="compact" re-encodes the payload with ttc.io.wire (int8
+    reference+residual S2 planes, native-resolution S1, uint16 slope:
+    ~28 MB instead of 58 MB per production tile; drift-gated by
+    tests/test_wire_gate.py) and adds `s2_10_sc`/`s2_20_sc` scale
+    arrays. The pipelined predict job ships this as the default."""
     dates = np.asarray(raw.s2_dates)
 
     width = raw.s2_20.shape[1] * 2
@@ -250,12 +274,36 @@ def host_prepare(raw: RawTile, make_shadow: bool = True,
 
     t_raw = s2_10_h.shape[0]
     cap = _bucket_capacity(t_raw) if bucket and make_shadow else t_raw
-    if cap > t_raw:
+
+    sc_10 = sc_20 = None
+    if wire == "compact" and s2_10_h.dtype == np.uint16 \
+            and s2_20_h.dtype == np.uint16:
+        from ttc.io.wire import (downsample_s1_u16, encode_s2_compact,
+                                 encode_slope_u16)
+
+        s2_10_h, sc_10 = encode_s2_compact(s2_10_h)
+        s2_20_h, sc_20 = encode_s2_compact(s2_20_h)
+        dem_h = encode_slope_u16(dem_h)
+        if s1_w is not None and s1_h.shape[1] == dem_h.shape[0]:
+            s1_h = downsample_s1_u16(s1_h)
+        if cap > t_raw:
+            # residual slots pad with zeros (decode to the reference
+            # plane; every consumer is validity-gated), scales with 1s
+            s2_10_h = np.pad(s2_10_h,
+                             ((0, cap - t_raw),) + ((0, 0),) * 3)
+            s2_20_h = np.pad(s2_20_h,
+                             ((0, cap - t_raw),) + ((0, 0),) * 3)
+            sc_10 = np.pad(sc_10, ((0, cap - t_raw), (0, 0)),
+                           constant_values=1.0)
+            sc_20 = np.pad(sc_20, ((0, cap - t_raw), (0, 0)),
+                           constant_values=1.0)
+    elif cap > t_raw:
         pad = ((0, cap - t_raw),) + ((0, 0),) * (s2_10_h.ndim - 1)
         s2_10_h = np.pad(s2_10_h, pad)
         s2_20_h = np.pad(s2_20_h, ((0, cap - t_raw),) + ((0, 0),) * 3)
     valid = np.arange(cap) < t_raw
     return dict(s2_10=s2_10_h, s2_20=s2_20_h, s1=s1_h, dem=dem_h,
+                s2_10_sc=sc_10, s2_20_sc=sc_20,
                 s1_w=s1_w, dates=dates, valid=valid, t_raw=t_raw,
                 cap=cap)
 
@@ -284,12 +332,17 @@ def process_tile(raw: RawTile = None, make_shadow: bool = True,
     s1_h, dem_h, s1_w = prepped["s1"], prepped["dem"], prepped["s1_w"]
     dates, valid = prepped["dates"], prepped["valid"].copy()
     t_raw, cap = prepped["t_raw"], prepped["cap"]
+    wire_sc = None
+    if prepped.get("s2_10_sc") is not None:
+        wire_sc = {"s2_10": jnp.asarray(prepped["s2_10_sc"]),
+                   "s2_20": jnp.asarray(prepped["s2_20_sc"])}
 
     if not make_shadow or t_raw < 3:
         sentinel2, s1, dem = _ingest(jnp.asarray(s2_10_h),
                                      jnp.asarray(s2_20_h),
                                      jnp.asarray(s1_h),
-                                     jnp.asarray(dem_h), s1_w)
+                                     jnp.asarray(dem_h), s1_w,
+                                     wire_sc)
         kill = np.asarray(id_missing_px(
             sentinel2, jnp.asarray(valid), thresh=2)).astype(bool)
         valid &= ~kill
@@ -313,8 +366,9 @@ def process_tile(raw: RawTile = None, make_shadow: bool = True,
     def dispatch(v):
         if smooth:
             w = jnp.asarray(regrid_weights(dates, v)[0])
-            return _ard_smooth_fused(*args, jnp.asarray(v), s1_w, w)
-        return _ard_fused(*args, jnp.asarray(v), s1_w), None
+            return _ard_smooth_fused(*args, jnp.asarray(v), s1_w, w,
+                                     wire_sc)
+        return _ard_fused(*args, jnp.asarray(v), s1_w, wire_sc), None
 
     out, sm = dispatch(valid)
     dec = np.asarray(out[6])                  # the ONE host sync
@@ -370,7 +424,8 @@ def process_tile(raw: RawTile = None, make_shadow: bool = True,
 
 
 @jax.jit
-def _ard_fused_batch(s2_10, s2_20, s1, dem, valid, s1_weights):
+def _ard_fused_batch(s2_10, s2_20, s1, dem, valid, s1_weights,
+                     wire_sc=None):
     """_ard_fused vmapped over a leading tile axis: B tiles' whole
     masking/gap-fill chains in ONE device dispatch. Each tile's
     computation is independent, so results match the per-tile program;
@@ -378,31 +433,33 @@ def _ard_fused_batch(s2_10, s2_20, s1, dem, valid, s1_weights):
     between tiles (the per-tile program is dominated by many small
     VPU stages)."""
     return jax.vmap(_ard_fused)(s2_10, s2_20, s1, dem, valid,
-                                s1_weights)
+                                s1_weights, wire_sc)
 
 
 @jax.jit
-def _ard_fused_batch_nos1w(s2_10, s2_20, s1, dem, valid):
-    def one(a, b, c, d, v):
-        return _ard_fused(a, b, c, d, v, None)
+def _ard_fused_batch_nos1w(s2_10, s2_20, s1, dem, valid,
+                           wire_sc=None):
+    def one(a, b, c, d, v, sc):
+        return _ard_fused(a, b, c, d, v, None, sc)
 
-    return jax.vmap(one)(s2_10, s2_20, s1, dem, valid)
+    return jax.vmap(one)(s2_10, s2_20, s1, dem, valid, wire_sc)
 
 
 @jax.jit
 def _ard_smooth_fused_batch(s2_10, s2_20, s1, dem, valid, s1_weights,
-                            regrid_w):
+                            regrid_w, wire_sc=None):
     return jax.vmap(_ard_smooth_fused)(s2_10, s2_20, s1, dem, valid,
-                                       s1_weights, regrid_w)
+                                       s1_weights, regrid_w, wire_sc)
 
 
 @jax.jit
 def _ard_smooth_fused_batch_nos1w(s2_10, s2_20, s1, dem, valid,
-                                  regrid_w):
-    def one(a, b, c, d, v, w):
-        return _ard_smooth_fused(a, b, c, d, v, None, w)
+                                  regrid_w, wire_sc=None):
+    def one(a, b, c, d, v, w, sc):
+        return _ard_smooth_fused(a, b, c, d, v, None, w, sc)
 
-    return jax.vmap(one)(s2_10, s2_20, s1, dem, valid, regrid_w)
+    return jax.vmap(one)(s2_10, s2_20, s1, dem, valid, regrid_w,
+                         wire_sc)
 
 
 @jax.jit
@@ -449,6 +506,11 @@ def _process_batch(preps, max_mask_rounds: int, smooth: bool,
     has_s1w = preps[0]["s1_w"] is not None
     s1w = (jnp.stack([jnp.asarray(p["s1_w"]) for p in preps])
            if has_s1w else None)
+    wire_sc = None
+    if preps[0].get("s2_10_sc") is not None:
+        wire_sc = {k: jnp.stack([jnp.asarray(p[f"{k}_sc"])
+                                 for p in preps])
+                   for k in ("s2_10", "s2_20")}
 
     def dispatch(v):
         vj = jnp.asarray(v)
@@ -456,11 +518,13 @@ def _process_batch(preps, max_mask_rounds: int, smooth: bool,
             w = jnp.asarray(np.stack(
                 [regrid_weights(dates[i], v[i])[0] for i in range(b)]))
             if has_s1w:
-                return _ard_smooth_fused_batch(*args, vj, s1w, w)
-            return _ard_smooth_fused_batch_nos1w(*args, vj, w)
+                return _ard_smooth_fused_batch(*args, vj, s1w, w,
+                                               wire_sc)
+            return _ard_smooth_fused_batch_nos1w(*args, vj, w,
+                                                 wire_sc)
         if has_s1w:
-            return _ard_fused_batch(*args, vj, s1w), None
-        return _ard_fused_batch_nos1w(*args, vj), None
+            return _ard_fused_batch(*args, vj, s1w, wire_sc), None
+        return _ard_fused_batch_nos1w(*args, vj, wire_sc), None
 
     out, sm = dispatch(valid)
     dec = np.asarray(out[6])                   # (B, 5, cap), ONE sync
@@ -658,12 +722,13 @@ _smooth_device = jax.jit(_smooth_body)
 
 @jax.jit
 def _ard_smooth_fused(s2_10, s2_20, s1, dem, valid, s1_weights,
-                      regrid_w):
+                      regrid_w, wire_sc=None):
     """_ard_fused + the smoothing program in one dispatch — the
     whole raw -> model-input chain as a single device program for the
     common no-date-removal case (the host recomputes `regrid_w` and
     re-dispatches when the decision cascade drops dates)."""
-    outs = _ard_fused(s2_10, s2_20, s1, dem, valid, s1_weights)
+    outs = _ard_fused(s2_10, s2_20, s1, dem, valid, s1_weights,
+                      wire_sc)
     filled, interp, _, _, s1db, _, _ = outs
     sm = _smooth_body(filled, s1db, interp, regrid_w, valid=valid)
     return outs, sm
