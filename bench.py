@@ -292,7 +292,7 @@ def run_sustained(n_tiles: int = 64, tile_batch: int = TILE_BATCH,
 
 
 def run_change(n_years: int = 8, t: int = 72, hw: int = HW,
-               n_iters: int = 2):
+               n_iters: int = 1):
     """Change-detection chain at production scale: KDE percentile
     calibration (device, ttc.change.kde.make_all_kde — the reference's
     known CPU hot spot, scipy gaussian_kde per image over 8 years,

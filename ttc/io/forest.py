@@ -52,7 +52,8 @@ def _box_blur(field: np.ndarray, radius: int, passes: int = 3):
 
 def make_canopy(rng: np.random.Generator, hw: int,
                 density: float | None = None,
-                blob_radius: int = 9) -> np.ndarray:
+                blob_radius: int = 9,
+                soft: float = 0.35) -> np.ndarray:
     """Smooth canopy-fraction field in [0, 1] with expected mean cover
     ~= density (sampled from a wide mixture when not given)."""
     if density is None:
@@ -67,18 +68,19 @@ def make_canopy(rng: np.random.Generator, hw: int,
     field = (field - field.mean()) / (field.std() + 1e-9)
     thr = np.quantile(field, 1.0 - density) if density > 0 else 99.0
     # soft edges: ~2-px transition from 0 to 1 canopy fraction
-    soft = 0.35
     return np.clip(1.0 / (1.0 + np.exp(-(field - thr) / soft)), 0.0, 1.0)
 
 
 def _scene_bands(canopy: np.ndarray, doy: np.ndarray, base: np.ndarray,
-                 rng: np.random.Generator) -> np.ndarray:
+                 rng: np.random.Generator, grass_phase: float = 110.0,
+                 tree_phase: float = 160.0,
+                 noise: float = 0.004) -> np.ndarray:
     """(T, H, W, 10) surface reflectance driven by the canopy field."""
     t = len(doy)
     hw = canopy.shape[0]
     c = canopy[None]                                  # (1, H, W)
-    grass = 0.5 + 0.5 * np.sin(2 * np.pi * (doy - 110) / 365.0)
-    tree = 0.85 + 0.15 * np.sin(2 * np.pi * (doy - 160) / 365.0)
+    grass = 0.5 + 0.5 * np.sin(2 * np.pi * (doy - grass_phase) / 365.0)
+    tree = 0.85 + 0.15 * np.sin(2 * np.pi * (doy - tree_phase) / 365.0)
     g = grass[:, None, None]
     tt = tree[:, None, None]
     b = base[None]
@@ -99,14 +101,27 @@ def _scene_bands(canopy: np.ndarray, doy: np.ndarray, base: np.ndarray,
         + 0.105 * c + b                                      # B11
     s2[..., 9] = (0.135 + 0.04 * (1 - g)) * (1 - c) \
         + 0.052 * c + 0.5 * b                                # B12
-    s2 += rng.normal(0, 0.004, s2.shape).astype(np.float32)
+    s2 += rng.normal(0, noise, s2.shape).astype(np.float32)
     return s2
 
 
 class ForestFixtureBackend(FixtureBackend):
     """FixtureBackend variant whose scenes contain a learnable,
     scoreable canopy structure. `canopy(x, y)` returns the ground-truth
-    tree-cover fraction field for a tile."""
+    tree-cover fraction field for a tile.
+
+    The class attributes parametrize the scene distribution; see
+    ShiftedForestBackend for a deliberately out-of-family variant used
+    by the generalization gate (tests/test_generalization.py)."""
+
+    blob_radius = 9          # canopy texture scale
+    soft = 0.35              # canopy edge softness
+    grass_phase = 110.0      # background phenology peak (doy)
+    tree_phase = 160.0
+    band_noise = 0.004       # per-band sensor noise sigma
+    speckle_shape = 8.0      # S1 gamma speckle (smaller = noisier)
+    s1_cal = (1.0, 1.0)      # VV/VH calibration multipliers
+    cloud_style = "square"   # cloud morphology
 
     def __init__(self, seed: int = 0, n_dates: int = 10, hw: int = 110,
                  cloud_fraction: float = 0.15,
@@ -121,7 +136,29 @@ class ForestFixtureBackend(FixtureBackend):
 
     def canopy(self, tile_x: int, tile_y: int) -> np.ndarray:
         return make_canopy(self._canopy_rng(tile_x, tile_y), self.hw,
-                           self.density)
+                           self.density, blob_radius=self.blob_radius,
+                           soft=self.soft)
+
+    def _add_cloud(self, s2, clouds_prev, i, rng):
+        hw = self.hw
+        if self.cloud_style == "square":
+            cx, cy = rng.integers(4, max(5, hw - 40), 2)
+            sz = int(rng.integers(15, 45))
+            s2[i, cx:cx + sz, cy:cy + sz, :3] += 0.3
+            s2[i, cx:cx + sz, cy:cy + sz, 3:] += 0.15
+            clouds_prev[i, cx * 28 // hw:(cx + sz) * 28 // hw,
+                        cy * 28 // hw:(cy + sz) * 28 // hw] = 80.0
+            return
+        # irregular blob clouds: thresholded blurred noise with soft
+        # brightness profile (different morphology + edge statistics)
+        field = _box_blur(rng.standard_normal((hw, hw)), 6)
+        field = (field - field.mean()) / (field.std() + 1e-9)
+        blob = np.clip((field - 1.1) / 0.4, 0.0, 1.0)
+        s2[i, ..., :3] += (0.35 * blob)[..., None]
+        s2[i, ..., 3:] += (0.12 * blob)[..., None]
+        small = blob.reshape(28, hw // 28, 28, hw // 28).mean((1, 3)) \
+            if hw % 28 == 0 else np.full((28, 28), blob.mean())
+        clouds_prev[i] = np.maximum(clouds_prev[i], 100.0 * small)
 
     def fetch(self, tile_x: int, tile_y: int, bbox, year: int) -> RawTile:
         rng = np.random.default_rng(
@@ -131,25 +168,27 @@ class ForestFixtureBackend(FixtureBackend):
         dates = np.sort(rng.choice(np.arange(5, 360), t, replace=False))
 
         base = rng.random((hw, hw)).astype(np.float32) * 0.03
-        s2 = _scene_bands(canopy, dates, base, rng)
+        s2 = _scene_bands(canopy, dates, base, rng,
+                          grass_phase=self.grass_phase,
+                          tree_phase=self.tree_phase,
+                          noise=self.band_noise)
 
         clouds_prev = np.zeros((t, 28, 28), np.float32)
         for i in range(t):
             if rng.random() < self.cloud_fraction * 2:
-                cx, cy = rng.integers(4, max(5, hw - 40), 2)
-                sz = int(rng.integers(15, 45))
-                s2[i, cx:cx + sz, cy:cy + sz, :3] += 0.3
-                s2[i, cx:cx + sz, cy:cy + sz, 3:] += 0.15
-                clouds_prev[i, cx * 28 // hw:(cx + sz) * 28 // hw,
-                            cy * 28 // hw:(cy + sz) * 28 // hw] = 80.0
+                self._add_cloud(s2, clouds_prev, i, rng)
         s2 = np.clip(s2, 0.005, 0.99)
 
         q_dates = np.array([45, 136, 227, 318])
-        vv = (0.022 * (1 - canopy) + 0.060 * canopy)[None, ..., None]
-        vh = (0.006 * (1 - canopy) + 0.026 * canopy)[None, ..., None]
+        cal_vv, cal_vh = self.s1_cal
+        vv = (cal_vv * (0.022 * (1 - canopy)
+                        + 0.060 * canopy))[None, ..., None]
+        vh = (cal_vh * (0.006 * (1 - canopy)
+                        + 0.026 * canopy))[None, ..., None]
         mean_lin = np.concatenate([vv, vh], axis=-1)      # (1, H, W, 2)
+        k = self.speckle_shape
         s1_lin = np.clip(
-            mean_lin * rng.gamma(8.0, 1 / 8.0, (4, hw, hw, 2)),
+            mean_lin * rng.gamma(k, 1 / k, (4, hw, hw, 2)),
             1e-4, 1.0).astype(np.float32)
 
         import jax.numpy as jnp
@@ -170,3 +209,26 @@ class ForestFixtureBackend(FixtureBackend):
             s1_dates=q_dates,
             dem=dem,
         )
+
+
+class ShiftedForestBackend(ForestFixtureBackend):
+    """Distribution-shifted synthetic family for generalization evals.
+
+    Same physics, different statistics than the family the release
+    weights trained on: fragmented fine-grained canopy texture with
+    sharp edges, phase-shifted background phenology, 1.5x sensor
+    noise, irregular blob clouds instead of squares, noisier S1
+    speckle with a VV/VH calibration offset. Ground truth stays the
+    canopy field, so accuracy remains scoreable
+    (tests/test_generalization.py records the in-family vs
+    shifted-family gap; stands in for the reference's real-data
+    validation loop, reference README.md:15)."""
+
+    blob_radius = 4
+    soft = 0.15
+    grass_phase = 70.0
+    tree_phase = 190.0
+    band_noise = 0.006
+    speckle_shape = 4.0
+    s1_cal = (1.15, 0.85)
+    cloud_style = "blob"

@@ -82,16 +82,36 @@ class ZoneoutConvGRU(nn.Module):
 
     Returns (outputs, final_state): outputs are the raw per-step cell
     outputs (B, T, H, W, F); final_state the zoneout-blended carry.
+
+    `epilogue` (inference + bf16 only) routes each step through XLA
+    convs + the Pallas epilogue kernels of ttc.ops.pallas_epilogue,
+    fusing the GN/sigmoid/sSE/tanh/zoneout/reflect-pad chains into two
+    VMEM-resident passes (drift-gated, tests/test_pallas_epilogue.py).
     """
 
     filters: int
     zoneout: float = 0.75
     dtype: Optional[jnp.dtype] = None
+    epilogue: bool = False
 
     @nn.compact
     def __call__(self, x_seq, deterministic: bool = True):
         b, t, h, w, _ = x_seq.shape
         cell = ConvGRUCell(self.filters, dtype=self.dtype, name="cell")
+        if (self.epilogue and deterministic
+                and self.dtype == jnp.bfloat16
+                and not self.is_initializing()):
+            from ttc.ops.pallas_epilogue import epilogue_zoneout_gru
+
+            # bind the cell's params with a tiny dummy call (XLA DCEs
+            # the unused compute); the kernels consume the raw values
+            _ = cell(jnp.zeros((1, 8, 8, x_seq.shape[-1]),
+                               x_seq.dtype),
+                     jnp.zeros((1, 8, 8, self.filters), x_seq.dtype))
+            return epilogue_zoneout_gru(
+                x_seq, cell.variables["params"], self.zoneout,
+                dtype=jnp.bfloat16,
+                interpret=jax.default_backend() == "cpu")
         carry = jnp.zeros((b, h, w, self.filters), x_seq.dtype)
         p = self.zoneout
 
@@ -128,15 +148,18 @@ class BiConvGRU(nn.Module):
     # plain convs on v5e (grouped conv misses the fast MXU path), so
     # off by default
     shared_stream: bool = False
+    epilogue: bool = False
 
     @nn.compact
     def __call__(self, x_seq, deterministic: bool = True):
         if not self.shared_stream:
             fw_out, fw_final = ZoneoutConvGRU(
-                self.filters, self.zoneout, self.dtype, name="fw")(
+                self.filters, self.zoneout, self.dtype, name="fw",
+                epilogue=self.epilogue)(
                     x_seq, deterministic)
             bw_out, bw_final = ZoneoutConvGRU(
-                self.filters, self.zoneout, self.dtype, name="bw")(
+                self.filters, self.zoneout, self.dtype, name="bw",
+                epilogue=self.epilogue)(
                     jnp.flip(x_seq, axis=1), deterministic)
             bw_out = jnp.flip(bw_out, axis=1)
             final = jnp.concatenate([fw_final, bw_final], axis=-1)

@@ -37,6 +37,8 @@ class TreeCoverNet(nn.Module):
     base_filters: int = 64
     zoneout: float = 0.75
     dtype: Optional[jnp.dtype] = None
+    # Pallas epilogue fusion in the GRU (inference + bf16 only)
+    epilogue: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -45,7 +47,8 @@ class TreeCoverNet(nn.Module):
         kw = dict(deterministic=deterministic, keep_rate=keep_rate)
 
         gru_final, gru_steps = BiConvGRU(
-            bf // 2, self.zoneout, self.dtype, name="gru")(
+            bf // 2, self.zoneout, self.dtype, name="gru",
+            epilogue=self.epilogue)(
                 x[:, :-1], deterministic)
         # gru_drop: DropBlock2D on the GRU output (train only; identity
         # at inference, reference: train-model.py:147-151)
