@@ -33,19 +33,52 @@ def _imgs_before(dates, offset_years: float) -> int:
     return int(np.sum(np.asarray(dates) <= offset_years * 365))
 
 
-def identify_gain_in_year(kde5, kde10, dates, year: int) -> np.ndarray:
+def precompute_events(kde5, kde10, kde25, kde2) -> dict:
+    """The anomaly-run stacks consumed by the per-year candidate
+    functions. They do not depend on the year (only the date slicing
+    does), so detect_change computes them ONCE instead of per year —
+    the reference recomputes every np.convolve stack for all 7 years
+    (reference change.py:310-423)."""
+    neg5_3 = identify_anomaly_events(kde5, 0, 3)
+    pos10_5 = identify_anomaly_events(kde10, 1, 5)
+    neg5_5 = identify_anomaly_events(kde5, 0, 5)
+    return {
+        "g_neg_after": identify_anomaly_events(kde5, 0, 2) == 2,
+        "g_neg_prior_ge2": neg5_3 >= 2,
+        "g_neg_prior_eq3": neg5_3 == 3,
+        "g_pos_ge4": pos10_5 >= 4,
+        "g_pos_eq5": pos10_5 == 5,
+        "l_pos": identify_anomaly_events(kde25, 1, 4) >= 3,
+        "l_pos5": identify_anomaly_events(kde25, 1, 5) == 5,
+        "l_neg10": identify_anomaly_events(kde10, 0, 5) >= 4,
+        "l_neg5": neg5_5 >= 3,
+        "l_neg2": np.logical_or(
+            identify_anomaly_events(kde2, 0, 5) >= 3, neg5_5 >= 5),
+    }
+
+
+def identify_gain_in_year(kde5, kde10, dates, year: int,
+                          events: dict | None = None) -> np.ndarray:
     """Candidate gain: loss anomaly in Y-3..Y, sustained positive
     anomaly in Y..Y+2, no loss anomaly in Y+1
     (reference change.py:310-349)."""
     y = year - START_YEAR
+    if events is None:
+        neg5_3 = identify_anomaly_events(kde5, 0, 3)
+        pos10_5 = identify_anomaly_events(kde10, 1, 5)
+        events = {"g_neg_after": identify_anomaly_events(kde5, 0,
+                                                         2) == 2,
+                  "g_neg_prior_ge2": neg5_3 >= 2,
+                  "g_neg_prior_eq3": neg5_3 == 3,
+                  "g_pos_ge4": pos10_5 >= 4,
+                  "g_pos_eq5": pos10_5 == 5}
+    neg_after = events["g_neg_after"]
     if year > 2018:
-        neg_after = identify_anomaly_events(kde5, 0, 2) == 2
-        neg_prior = identify_anomaly_events(kde5, 0, 3) >= 2
-        pos = identify_anomaly_events(kde10, 1, 5) >= 4
+        neg_prior = events["g_neg_prior_ge2"]
+        pos = events["g_pos_ge4"]
     else:
-        neg_prior = identify_anomaly_events(kde5, 0, 3) == 3
-        neg_after = identify_anomaly_events(kde5, 0, 2) == 2
-        pos = identify_anomaly_events(kde10, 1, 5) == 5
+        neg_prior = events["g_neg_prior_eq3"]
+        pos = events["g_pos_eq5"]
 
     i_p3 = _imgs_before(dates, y - 3)
     i_cur = _imgs_before(dates, y)
@@ -67,16 +100,25 @@ def identify_gain_in_year(kde5, kde10, dates, year: int) -> np.ndarray:
 
 
 def identify_loss_in_year(kde5, kde10, kde25, kde2, dates,
-                          year: int):
+                          year: int, events: dict | None = None):
     """Candidate loss (reference change.py:351-423). Returns
     (candidate_loss, candidate_loss_ndmi)."""
     y = year - START_YEAR
-    pos = identify_anomaly_events(kde25, 1, 4) >= 3
-    pos5 = identify_anomaly_events(kde25, 1, 5) == 5
-    neg10 = identify_anomaly_events(kde10, 0, 5) >= 4
-    neg5 = identify_anomaly_events(kde5, 0, 5) >= 3
-    neg2 = np.logical_or(identify_anomaly_events(kde2, 0, 5) >= 3,
-                         identify_anomaly_events(kde5, 0, 5) >= 5)
+    if events is None:
+        neg5_5 = identify_anomaly_events(kde5, 0, 5)
+        events = {"l_pos": identify_anomaly_events(kde25, 1, 4) >= 3,
+                  "l_pos5": identify_anomaly_events(kde25, 1, 5) == 5,
+                  "l_neg10": identify_anomaly_events(kde10, 0,
+                                                    5) >= 4,
+                  "l_neg5": neg5_5 >= 3,
+                  "l_neg2": np.logical_or(
+                      identify_anomaly_events(kde2, 0, 5) >= 3,
+                      neg5_5 >= 5)}
+    pos = events["l_pos"]
+    pos5 = events["l_pos5"]
+    neg10 = events["l_neg10"]
+    neg5 = events["l_neg5"]
+    neg2 = events["l_neg2"]
 
     i_prior = _imgs_before(dates, y - 1)
     i_prior_mid = _imgs_before(dates, y - 0.5)
@@ -205,10 +247,13 @@ def detect_change(kde5, kde10, kde25, kde2, dates, fs,
     ff = temporal_filter(fs.astype(np.float32))
 
     years = range(2018, START_YEAR + n_years)
-    gain = np.stack([identify_gain_in_year(kde5, kde10, dates, yr)
+    ev = precompute_events(kde5, kde10, kde25, kde2)
+    gain = np.stack([identify_gain_in_year(kde5, kde10, dates, yr,
+                                           events=ev)
                      for yr in years]).astype(np.float32)
     loss_pairs = [identify_loss_in_year(kde5, kde10, kde25, kde2,
-                                        dates, yr) for yr in years]
+                                        dates, yr, events=ev)
+                  for yr in years]
     loss = np.stack([p[0] for p in loss_pairs]).astype(np.float32)
     ndmiloss = np.stack([p[1] for p in loss_pairs]).astype(np.float32)
 

@@ -37,9 +37,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ttc.ops.pallas_gru import _gn_scale_bias, _reflect_pad_hw
+from ttc.ops.pallas_gru import _group_matrix
 
-_VMEM_LIMIT = 127 * 1024 * 1024
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _gn_apply_b(y, gamma, beta, groups: int, eps: float = 1e-5):
+    """GroupNorm with fp32 statistics but a bf16 normalize pass —
+    avoids materializing a full-precision copy of the block (15 MB of
+    scoped VMEM per (172,172,32) f32 temporary)."""
+    h, w, c = y.shape
+    per = c // groups
+    gm = _group_matrix(c, groups)                            # (C, G)
+    s = jnp.sum(jnp.sum(y.astype(jnp.float32), axis=0), axis=0,
+                keepdims=True)                               # (1, C)
+    ss = jnp.sum(jnp.sum(y.astype(jnp.float32) ** 2, axis=0), axis=0,
+                 keepdims=True)
+    sg = jnp.dot(s, gm, preferred_element_type=jnp.float32)
+    ssg = jnp.dot(ss, gm, preferred_element_type=jnp.float32)
+    n = jnp.float32(h * w * per)
+    mean = sg / n
+    var = ssg / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    inv_c = jnp.dot(inv, gm.T, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(mean, gm.T, preferred_element_type=jnp.float32)
+    scale = (inv_c * gamma[None]).astype(y.dtype)            # (1, C)
+    bias = (beta[None] - mean_c * inv_c * gamma[None]).astype(y.dtype)
+    return y * scale[None] + bias[None]
+
+
+def _write_padded(ref, interior):
+    """Write `interior` (H, W, C) into a (1, H+2, W+2, C) ref with its
+    1-px reflect-pad border, via ref-slice writes (value-level concats
+    would materialize two more (H+2, W+2, C) temporaries in VMEM)."""
+    h, w = interior.shape[0], interior.shape[1]
+    ref[0, 1:1 + h, 1:1 + w] = interior
+    ref[0, 0, 1:1 + w] = interior[1]
+    ref[0, 1 + h, 1:1 + w] = interior[h - 2]
+    ref[0, :, 0] = ref[0, :, 2]
+    ref[0, :, 1 + w] = ref[0, :, w - 1]
 
 
 def _sigmoid_b(x):
@@ -60,32 +96,38 @@ def _gates_epi_body(y_ref, hp_ref, g_ref, b_ref, u_ref, rhp_ref, *, f):
     h, w = y.shape[0], y.shape[1]
     # one GN over both gates: G=16 on 2F channels == per-gate G=8
     # (groups never cross the r/u boundary)
-    ru = _sigmoid_b(_gn_scale_bias(y, g_ref[:], b_ref[:], 16))
+    ru = _sigmoid_b(_gn_apply_b(y, g_ref[:], b_ref[:], 16))
     u_ref[0] = ru[..., f:]
     hh = hp_ref[0, 1:1 + h, 1:1 + w, :]            # carry interior
-    rhp_ref[0] = _reflect_pad_hw(ru[..., :f] * hh)
+    _write_padded(rhp_ref, ru[..., :f] * hh)
 
 
-def _cand_epi_body(c_ref, u_ref, hp_ref, ws, gc_g, gc_b,
-                   hnew_ref, cnp_ref, *, f, p):
+def _cand_sse_gn_body(c_ref, ws, gc_g, gc_b, t_ref, *, f):
+    """K2a: sSE gate + GN + tanh (everything per-pixel + per-sample
+    stats; split from the blend so each kernel fits scoped VMEM)."""
     c = c_ref[0]                                   # (H, W, F) bf16
-    h, w = c.shape[0], c.shape[1]
     # sSE logit as a (H, W) 2-D map (a (H, W, 1) block would pad its
     # unit lane dim to 128 and waste 15 MB of VMEM)
     logit = jnp.sum(c.astype(jnp.float32) * ws[:].astype(jnp.float32),
                     axis=-1)                       # (H, W) f32
     gate = jax.nn.sigmoid(logit).astype(c.dtype)
     y = c * gate[..., None]
-    y = _gn_scale_bias(y, gc_g[:], gc_b[:], 8)
-    t = _tanh_b(y)
+    y = _gn_apply_b(y, gc_g[:], gc_b[:], 8)
+    t_ref[0] = _tanh_b(y)
+
+
+def _cand_blend_body(t_ref, u_ref, hp_ref, hnew_ref, cnp_ref, *, p):
+    """K2b: GRU combine + inference zoneout + padded carry emit."""
+    t = t_ref[0]
+    h, w = t.shape[0], t.shape[1]
     u = u_ref[0]
     hh = hp_ref[0, 1:1 + h, 1:1 + w, :]
     one = jnp.full((), 1.0, u.dtype)
     h_new = u * hh + (one - u) * t
     hnew_ref[0] = h_new
     carry = hh * jnp.full((), p, hh.dtype) \
-        + h_new * jnp.full((), 1.0 - p, hh.dtype)  # inference zoneout
-    cnp_ref[0] = _reflect_pad_hw(carry)
+        + h_new * jnp.full((), 1.0 - p, hh.dtype)
+    _write_padded(cnp_ref, carry)
 
 
 @functools.partial(jax.jit, static_argnames=("f", "interpret"))
@@ -122,21 +164,36 @@ def gates_epilogue(y, carry_p, gn_gamma, gn_beta, f: int,
 @functools.partial(jax.jit, static_argnames=("f", "p", "interpret"))
 def cand_epilogue(c, u, carry_p, sse_w, gn_c_gamma, gn_c_beta, f: int,
                   p: float, interpret: bool = False):
-    """(B,H,W,F) candidate conv out -> (h_new, padded blended carry)."""
+    """(B,H,W,F) candidate conv out -> (h_new, padded blended carry).
+    Two kernels (sSE+GN+tanh, then blend+pad) so each fits scoped
+    VMEM with Mosaic's double-buffered grid pipelining."""
     b, h, w, _ = c.shape
     sample = lambda i: (i, 0, 0, 0)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    t = pl.pallas_call(
+        functools.partial(_cand_sse_gn_body, f=f),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w, f), sample,
+                               memory_space=pltpu.VMEM),
+                  full((f,)), full((f,)), full((f,))],
+        out_specs=pl.BlockSpec((1, h, w, f), sample,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, f), c.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(c, sse_w.astype(c.dtype), gn_c_gamma.astype(jnp.float32),
+      gn_c_beta.astype(jnp.float32))
     return pl.pallas_call(
-        functools.partial(_cand_epi_body, f=f, p=p),
+        functools.partial(_cand_blend_body, p=p),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, h, w, f), sample,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, h, w, f), sample,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, h + 2, w + 2, f), sample,
-                               memory_space=pltpu.VMEM),
-                  full((f,)), full((f,)), full((f,))],
+                               memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((1, h, w, f), sample,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, h + 2, w + 2, f), sample,
@@ -146,8 +203,7 @@ def cand_epilogue(c, u, carry_p, sse_w, gn_c_gamma, gn_c_beta, f: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(c, u, carry_p, sse_w.astype(c.dtype),
-      gn_c_gamma.astype(jnp.float32), gn_c_beta.astype(jnp.float32))
+    )(t, u, carry_p)
 
 
 def epilogue_zoneout_gru(x_seq, cell_params, zoneout: float = 0.75,
