@@ -116,18 +116,6 @@ def _cand_sse_gn_body(c_ref, ws, gc_g, gc_b, t_ref, *, f):
     t_ref[0] = _tanh_b(y)
 
 
-def _cand_blend_body(t_ref, u_ref, hp_ref, hnew_ref, cnp_ref, *, p):
-    """K2b: GRU combine + inference zoneout + padded carry emit."""
-    t = t_ref[0]
-    h, w = t.shape[0], t.shape[1]
-    u = u_ref[0]
-    hh = hp_ref[0, 1:1 + h, 1:1 + w, :]
-    one = jnp.full((), 1.0, u.dtype)
-    h_new = u * hh + (one - u) * t
-    hnew_ref[0] = h_new
-    carry = hh * jnp.full((), p, hh.dtype) \
-        + h_new * jnp.full((), 1.0 - p, hh.dtype)
-    _write_padded(cnp_ref, carry)
 
 
 @functools.partial(jax.jit, static_argnames=("f", "interpret"))
@@ -161,17 +149,19 @@ def gates_epilogue(y, carry_p, gn_gamma, gn_beta, f: int,
       gn_beta.astype(jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("f", "p", "interpret"))
-def cand_epilogue(c, u, carry_p, sse_w, gn_c_gamma, gn_c_beta, f: int,
-                  p: float, interpret: bool = False):
-    """(B,H,W,F) candidate conv out -> (h_new, padded blended carry).
-    Two kernels (sSE+GN+tanh, then blend+pad) so each fits scoped
-    VMEM with Mosaic's double-buffered grid pipelining."""
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def cand_epilogue(c, sse_w, gn_c_gamma, gn_c_beta, f: int,
+                  interpret: bool = False):
+    """(B,H,W,F) candidate conv out -> tanh(GN(sSE(c))). The remaining
+    GRU combine + zoneout blend + pad is pure elementwise that XLA
+    fuses into ~2 passes on its own; a third Pallas kernel for it
+    overflowed scoped VMEM (the lane-padded (172,172,32) blocks cost
+    7.6-7.8 MB each with double-buffered grid pipelining)."""
     b, h, w, _ = c.shape
     sample = lambda i: (i, 0, 0, 0)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    t = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_cand_sse_gn_body, f=f),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, h, w, f), sample,
@@ -185,25 +175,6 @@ def cand_epilogue(c, u, carry_p, sse_w, gn_c_gamma, gn_c_beta, f: int,
         interpret=interpret,
     )(c, sse_w.astype(c.dtype), gn_c_gamma.astype(jnp.float32),
       gn_c_beta.astype(jnp.float32))
-    return pl.pallas_call(
-        functools.partial(_cand_blend_body, p=p),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w, f), sample,
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, h, w, f), sample,
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, h + 2, w + 2, f), sample,
-                               memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, h, w, f), sample,
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, h + 2, w + 2, f), sample,
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((b, h, w, f), c.dtype),
-                   jax.ShapeDtypeStruct((b, h + 2, w + 2, f), c.dtype)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(t, u, carry_p)
 
 
 def epilogue_zoneout_gru(x_seq, cell_params, zoneout: float = 0.75,
@@ -242,10 +213,15 @@ def epilogue_zoneout_gru(x_seq, cell_params, zoneout: float = 0.75,
         u, rhp = gates_epilogue(y, carry_p, gn_g, gn_b, f=f,
                                 interpret=interpret)
         c = conv(jnp.concatenate([xp, rhp], axis=-1), cand_k)
-        h_new, carry_p = cand_epilogue(
-            c, u, carry_p, sse_w, p["norm_candidate"]["gamma"],
-            p["norm_candidate"]["beta"], f=f, p=zoneout,
-            interpret=interpret)
+        t_act = cand_epilogue(
+            c, sse_w, p["norm_candidate"]["gamma"],
+            p["norm_candidate"]["beta"], f=f, interpret=interpret)
+        carry = carry_p[:, 1:1 + h, 1:1 + w, :]
+        one = jnp.asarray(1.0, dtype)
+        h_new = u * carry + (one - u) * t_act
+        blended = carry * jnp.asarray(zoneout, dtype) \
+            + h_new * jnp.asarray(1.0 - zoneout, dtype)
+        carry_p = reflect_pad_2d(blended)
         steps.append(h_new)
     final = carry_p[:, 1:1 + h, 1:1 + w, :]
     return jnp.stack(steps, axis=1), final
