@@ -613,6 +613,16 @@ def main():
     }
     sub.update(sustained)
     sub.update(run_change())
+    sub["mfu_note"] = (
+        "model is VPU/bandwidth-bound, not MXU-bound: both remaining "
+        "levers measured in round 4 — (a) Pallas epilogue fusion of "
+        "the GN/sigmoid/sSE/tanh chains is 1.7x SLOWER (165.7 vs "
+        "96.4 ms/tile, tb=4; Mosaic lane-pads C=32 blocks 4x at every "
+        "kernel boundary; r3's full-cell kernel was 1.9x slower), "
+        "(b) window batching knee at tile_batch 4 (192/124/96/87 "
+        "ms/tile at 1/2/4/8). Irreducible floors at tb=1: ~4.5 "
+        "ms/step-dir VPU transcendentals (36 ms/tile) + ~15 ms/tile "
+        "GN/elementwise HBM traffic; shipped default tile_batch 4")
     if "cpu_change_seconds_per_tile" in cpu:
         sub["cpu_change_seconds_per_tile"] = round(
             cpu["cpu_change_seconds_per_tile"], 2)

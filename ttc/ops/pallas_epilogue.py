@@ -27,6 +27,21 @@ what makes the kernels fit.
 Used by ZoneoutConvGRU(epilogue=True) (inference only; the flax path
 remains the reference semantics and the training path). Numerics are
 gated against the flax bf16 cell in tests/test_pallas_epilogue.py.
+
+STATUS (v5e, 2026-08, round 4): numerically verified (max pred drift
+0.034 uint8-steps-equivalent vs the flax bf16 path) but measured
+1.7x SLOWER end to end: 165.7 ms/tile vs 96.4 ms/tile at tile_batch 4
+(best-of-3, same hour, baseline recheck 96.4). Root cause: Mosaic
+tiles the minor (W, C) dims to (8, 128), so every (172, 172, 32)
+bf16 block pads its 32-channel lane dim 4x — in VMEM (two kernels
+overflowed scoped VMEM before slimming) AND in the custom-call HBM
+layout, where XLA inserts relayout copies at every pallas boundary.
+The 4x wire tax at each kernel edge exceeds the HBM round trips the
+fusion removes. Together with round 3's full-cell attempt (1.9x
+slower, per-tap relayouts) this closes the "Pallas epilogue fusion"
+lever: for C<=64 NHWC activations the XLA conv+fusion path is the
+fast path on this hardware generation. Kept as an experimental flag
+(TreeCoverNet(epilogue=True)); not used in production.
 """
 from __future__ import annotations
 
