@@ -589,11 +589,13 @@ def main():
         "degraded_tiles_per_sec": round(dtps, 4),
         "degraded_seconds_per_tile": round(float(np.mean(times_deg)),
                                            3),
-        "degraded_note": "degraded can run FASTER than clean: 50% "
-        "cloud cover makes the decision cascade drop most dates, so "
-        "the surviving stack pads to a smaller date bucket (T=8 vs "
-        "12) — less masking/regrid/smoothing work per tile despite "
-        "the extra cascade re-dispatches",
+        "degraded_note": "degraded sometimes measures FASTER than "
+        "clean (r3: 0.53 vs 0.42). Verified NOT a workload effect: "
+        "the fixture's 50% cloud cover drops no dates (checked via "
+        "the decision cascade), the date bucket is fixed at prep "
+        "time, and the compiled programs/shapes are identical — the "
+        "inversion is host-link variance on an upload-dominated wall "
+        "time, now sampled over 5 tiles instead of 3",
         "infer_only_tiles_per_sec": round(itps, 4),
         "upload_mb_per_tile": round(upload_mb, 1),
         "upload_seconds_mean": round(float(np.mean(upload_times)), 3),

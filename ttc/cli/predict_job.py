@@ -134,15 +134,20 @@ def load_sr_params(sr_path: str | None):
 
 def prepare_tile(x: int, y: int, year: int, backend, store: TileStore,
                  bbox=None, sr_params=None,
-                 timer: StageTimer | None = None):
-    """Host+device ARD stage: fetch -> process -> (SR) -> smooth."""
+                 timer: StageTimer | None = None,
+                 wire: str = "uint16"):
+    """Host+device ARD stage: fetch -> process -> (SR) -> smooth.
+    wire="compact" re-encodes the upload with ttc.io.wire."""
     timer = timer or StageTimer()
     store.make_tile_folders(x, y)
     with timer.stage("download"):
         raw: RawTile = backend.fetch(x, y, bbox, year)
     with timer.stage("ard"):
+        from ttc.preprocess.ard import host_prepare
+
+        prepped = host_prepare(raw, wire=wire)
         if sr_params is not None:
-            tile = process_tile(raw)
+            tile = process_tile(prepped=prepped)
             import jax.numpy as jnp
 
             from ttc.models.superres import superresolve_tile
@@ -154,9 +159,7 @@ def prepare_tile(x: int, y: int, year: int, backend, store: TileStore,
         else:
             # no SR between masking and smoothing: run the fused
             # single-dispatch ARD+smooth program
-            from ttc.preprocess.ard import process_and_smooth_tile
-
-            tile, sm = process_and_smooth_tile(raw)
+            tile, sm = process_tile(prepped=prepped, smooth=True)
     return tile, sm
 
 
@@ -294,7 +297,8 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                         prep[k] = jax.device_put(prep[k])
             return x, y, bbox, prep, None
         tile, sm = prepare_tile(x, y, year, backend, store, bbox=bbox,
-                                sr_params=sr_params, timer=timer)
+                                sr_params=sr_params, timer=timer,
+                                wire=wire)
         return x, y, bbox, tile, sm
 
     def _finish_group(group):
