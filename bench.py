@@ -190,7 +190,10 @@ def run_full_grouped(n_tiles: int = 8, tile_batch: int = TILE_BATCH,
         return p
 
     def predict_group(preps):
-        outs = process_and_smooth_tiles(prepped_list=preps)
+        # ARD capped at 2-wide vmap (HBM ceiling); forward batches all
+        outs = process_and_smooth_tiles(prepped_list=preps,
+                                        pad_to=min(tile_batch, 2),
+                                        max_batch=2)
         sms = [sm for _, sm in outs]
         pad = [sms[-1]] * (tile_batch - len(sms))
         stacked = [
@@ -251,7 +254,8 @@ def run_sustained(n_tiles: int = 64, tile_batch: int = TILE_BATCH,
 
     def predict_group(preps):
         outs = process_and_smooth_tiles(prepped_list=preps,
-                                        pad_to=tile_batch)
+                                        pad_to=min(tile_batch, 2),
+                                        max_batch=2)
         sms = [sm for _, sm in outs]
         pad = [sms[-1]] * (tile_batch - len(sms))
         stacked = [

@@ -34,6 +34,11 @@ from ttc.utils.profiling import StageTimer
 
 log = logging.getLogger("ttc.predict_job")
 
+# vmap width cap for the fused ARD+smooth program (the 24-step regrid
+# stack lane-pads ~13x; B=2 is the measured HBM ceiling at 618 px) —
+# the model forward is not affected and batches the full tile_batch
+ARD_BATCH = 2
+
 DEFAULT_WEIGHTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "weights", "treecover.npz")
@@ -312,9 +317,13 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
             from ttc.preprocess.ard import process_and_smooth_tiles
 
             with timer.stage("ard"):
+                # ARD batches cap at 2 (HBM ceiling of the fused
+                # smooth program at production geometry); the forward
+                # below still batches the full tile_batch
                 processed = process_and_smooth_tiles(
                     prepped_list=[g[3] for g in group],
-                    sr_params=sr_params, pad_to=tb)
+                    sr_params=sr_params, pad_to=min(tb, ARD_BATCH),
+                    max_batch=ARD_BATCH)
             group = [(x, y, bbox, tile, sm)
                      for (x, y, bbox, _, _), (tile, sm)
                      in zip(group, processed)]

@@ -593,7 +593,7 @@ def _process_batch(preps, max_mask_rounds: int, smooth: bool,
 def process_tiles(raws=None, make_shadow: bool = True,
                   max_mask_rounds: int = 3, bucket: bool = True,
                   smooth: bool = True, prepped_list=None,
-                  sr_params=None, pad_to=None):
+                  sr_params=None, pad_to=None, max_batch=None):
     """Batch B tiles through vmapped fused ARD dispatches.
 
     Production tiles share geometry (618 px) and a handful of date-axis
@@ -651,27 +651,37 @@ def process_tiles(raws=None, make_shadow: bool = True,
             for i in idxs:
                 results[i] = single(prepped_list[i])
             continue
-        batch = [prepped_list[i] for i in idxs]
-        for i, r in zip(idxs, _process_batch(batch, max_mask_rounds,
-                                             smooth, sr_params,
-                                             pad_to=pad_to)):
-            results[i] = r
+        # max_batch caps the vmap width of the fused ARD program: the
+        # smoothing chain materializes a (B, 24, H, W, 10) f32 stack
+        # whose 10-wide minor dim lane-pads ~13x on TPU, so B=4 at
+        # production geometry exceeds HBM (B=2 is the proven ceiling;
+        # the FORWARD still batches the full tile_batch downstream)
+        mb = max_batch or len(idxs)
+        for s in range(0, len(idxs), mb):
+            chunk = idxs[s:s + mb]
+            batch = [prepped_list[i] for i in chunk]
+            for i, r in zip(chunk, _process_batch(
+                    batch, max_mask_rounds, smooth, sr_params,
+                    pad_to=pad_to)):
+                results[i] = r
     return results
 
 
 def process_and_smooth_tiles(raws=None, make_shadow: bool = True,
                              max_mask_rounds: int = 3,
                              bucket: bool = True, prepped_list=None,
-                             sr_params=None, pad_to=None):
+                             sr_params=None, pad_to=None,
+                             max_batch=None):
     """process_and_smooth_tile over a tile batch: ONE vmapped fused
-    device dispatch for the whole group (plus cascade re-dispatches of
-    the same program when any tile drops dates). Returns a list of
+    device dispatch per <=max_batch chunk (plus cascade re-dispatches
+    of the same program when any tile drops dates). Returns a list of
     (ProcessedTile, SmoothedTile)."""
     return process_tiles(raws, make_shadow=make_shadow,
                          max_mask_rounds=max_mask_rounds,
                          bucket=bucket, smooth=True,
                          prepped_list=prepped_list,
-                         sr_params=sr_params, pad_to=pad_to)
+                         sr_params=sr_params, pad_to=pad_to,
+                         max_batch=max_batch)
 
 
 def _smooth_body(s2, s1, interp, weights, valid=None):
