@@ -25,10 +25,10 @@ from ttc.core.bands import NORM_MAX, NORM_MIN
 from ttc.core.config import InferenceConfig
 from ttc.core.windows import window_offsets
 from ttc.infer.mosaic import NODATA, mosaic_predictions
-from ttc.infer.windows import build_model_inputs, extract_windows, normalize, pad_tile
+from ttc.infer.windows import extract_windows, normalize, pad_tile
 from ttc.models.unet import TreeCoverNet
 from ttc.ops.morphology import dilate, erode
-from ttc.preprocess.masks import bright_surface_weight
+from ttc.preprocess.masks import bright_surface_map
 
 
 def quarterly_medians(monthly):
@@ -100,26 +100,51 @@ class TilePredictor:
 
 
 def _prepare_windows(s2_monthly, s1_monthly, slope, s2_median,
-                     s1_median, clear_count, cfg: InferenceConfig):
-    """Window batch + the per-window aux tensors for one tile."""
+                     s1_median, clear_count, cfg: InferenceConfig,
+                     norm_dtype=None):
+    """Normalized window batch + per-window aux tensors for one tile.
+
+    Memory-lean formulation: normalization is pixelwise (it commutes
+    exactly with window extraction) and the bright-surface weight has
+    influence radius 6 < halo 7 (bit-identical computed tile-level),
+    so the tile is normalized/weighted ONCE and only the normalized
+    windows are materialized — in the model's compute dtype. The raw
+    f32 window batch of the naive layout (5.8 GB at tile_batch 4,
+    production geometry) never exists.
+    """
+    halo = cfg.halo
+    offs = window_offsets(cfg.tile_px, cfg.out_size, cfg.n_rows)
     s2_q = quarterly_medians(s2_monthly)
     s1_q = quarterly_medians(s1_monthly)
-    batch, offsets = build_model_inputs(
-        s2_q, s1_q, s2_median, s1_median, slope, cfg)  # (36,5,in,in,17)
-    norm = normalize(batch, NORM_MIN, NORM_MAX)
 
-    clear_pad = pad_tile(clear_count[..., None], cfg.halo)[..., 0]
-    clear_wins = extract_windows(clear_pad[..., None], offsets,
+    steps = jnp.concatenate(
+        [s2_q, s2_median[None]], axis=0)                 # (5, H, W, 14)
+    s1_steps = jnp.concatenate(
+        [s1_q, s1_median[None]], axis=0)
+    dem5 = jnp.broadcast_to(
+        slope[None, :, :, None], (5,) + slope.shape + (1,))
+    full = jnp.concatenate(
+        [steps[..., :10], dem5, s1_steps, steps[..., 10:]], axis=-1)
+    full_p = pad_tile(full, halo)                  # (5, H+14, W+14, 17)
+
+    bright_full = bright_surface_map(full_p)       # (H+14, W+14)
+    bright = extract_windows(bright_full[..., None], offs + halo,
+                             cfg.out_size)[..., 0]
+
+    norm_p = normalize(full_p, NORM_MIN, NORM_MAX)
+    if norm_dtype is not None:
+        norm_p = norm_p.astype(norm_dtype)
+    norm = extract_windows(norm_p, offs, cfg.in_size)
+
+    clear_pad = pad_tile(clear_count[..., None], halo)[..., 0]
+    clear_wins = extract_windows(clear_pad[..., None], offs,
                                  cfg.in_size)[..., 0]
-    return batch, norm, clear_wins
+    return norm, bright, clear_wins
 
 
-def _postprocess(preds, batch, clear_wins, cfg: InferenceConfig):
+def _postprocess(preds, bright, clear_wins, cfg: InferenceConfig):
     """Bright-surface attenuation, clear-count nodata, mosaic."""
-    preds = preds.astype(jnp.float32)
-    bright = jax.vmap(
-        lambda w: bright_surface_weight(w, cfg.halo))(batch)
-    preds = preds * bright
+    preds = preds.astype(jnp.float32) * bright
 
     nodata_mask = jax.vmap(
         lambda cw: clear_count_mask(cw, cfg.out_size))(clear_wins)
@@ -142,11 +167,11 @@ def predict_tile(params, s2_monthly, s1_monthly, slope, s2_median,
     s1_median:  (H, W, 2)
     clear_count:(H, W) number of clear acquisitions per pixel
     """
-    batch, norm, clear_wins = _prepare_windows(
+    norm, bright, clear_wins = _prepare_windows(
         s2_monthly, s1_monthly, slope, s2_median, s1_median,
-        clear_count, cfg)
+        clear_count, cfg, norm_dtype=model.dtype)
     preds = model.apply(params, norm)                    # (36, out, out)
-    return _postprocess(preds, batch, clear_wins, cfg)
+    return _postprocess(preds, bright, clear_wins, cfg)
 
 
 def predict_tile_batch(params, s2_monthly, s1_monthly, slope,
@@ -154,9 +179,9 @@ def predict_tile_batch(params, s2_monthly, s1_monthly, slope,
                        model: TreeCoverNet, cfg: InferenceConfig):
     """Multi-tile program: inputs have a leading tile axis; all tiles'
     windows run through the model as one (T*36, ...) batch."""
-    batch, norm, clear_wins = jax.vmap(
-        lambda a, b, c, d, e, f: _prepare_windows(a, b, c, d, e, f,
-                                                  cfg))(
+    norm, bright, clear_wins = jax.vmap(
+        lambda a, b, c, d, e, f: _prepare_windows(
+            a, b, c, d, e, f, cfg, norm_dtype=model.dtype))(
         s2_monthly, s1_monthly, slope, s2_median, s1_median,
         clear_count)
     t, n = norm.shape[0], norm.shape[1]
@@ -164,7 +189,7 @@ def predict_tile_batch(params, s2_monthly, s1_monthly, slope,
     preds = model.apply(params, flat)
     preds = preds.reshape((t, n) + preds.shape[1:])
     return jax.vmap(lambda p, b, c: _postprocess(p, b, c, cfg))(
-        preds, batch, clear_wins)
+        preds, bright, clear_wins)
 
 
 def predict_windows(params, batch, model: TreeCoverNet):

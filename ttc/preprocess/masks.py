@@ -28,10 +28,15 @@ def hollstein_cloud(arr):
     return cl
 
 
-def bright_surface_weight(window_stack, halo: int = 7):
-    """(T, H, W, C) window -> (H-2*halo, W-2*halo) multiplicative weight
-    in [0, 1] attenuating predictions over persistently bright bare
-    surfaces (NIR/SWIR < 0.9, TCI > 0.2, EVI < 0.3 on >1 date)."""
+def bright_surface_map(window_stack):
+    """(T, H, W, C) stack -> uncropped (H, W) bright-bare-surface
+    weight map (NIR/SWIR < 0.9, TCI > 0.2, EVI < 0.3 on >1 date).
+
+    The whole chain's influence radius is 2+1 dilation + 3 px capped
+    EDT = 6 px, strictly inside the 7 px prediction halo — so the map
+    computed ONCE on a padded tile and window-sliced is bit-identical
+    to evaluating it per overlapping window (the predictor exploits
+    this to avoid materializing the unnormalized window batch)."""
     nir_swir = window_stack[..., 3] / (window_stack[..., 8] + 0.01)
     flag = (nir_swir < 0.9) \
         & (jnp.mean(window_stack[..., :3], axis=-1) > 0.2) \
@@ -41,5 +46,12 @@ def bright_surface_weight(window_stack, halo: int = 7):
     # reference: two complement dilations == erode 2 then dilate 1
     bright = dilate(1.0 - dilate(1.0 - bright.astype(jnp.float32),
                                  iterations=2), iterations=1)
-    blurred = capped_edt(bright > 0, 3.0) / 3.0
-    return blurred[..., halo:-halo, halo:-halo]
+    return capped_edt(bright > 0, 3.0) / 3.0
+
+
+def bright_surface_weight(window_stack, halo: int = 7):
+    """(T, H, W, C) window -> (H-2*halo, W-2*halo) multiplicative weight
+    in [0, 1] attenuating predictions over persistently bright bare
+    surfaces (reference: src/download_and_predict_job.py:1099-1122)."""
+    return bright_surface_map(window_stack)[..., halo:-halo,
+                                            halo:-halo]
