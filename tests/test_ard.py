@@ -111,8 +111,14 @@ def test_full_ard_to_prediction():
 
 def test_fused_smooth_matches_two_stage():
     """process_and_smooth_tile (smoothing fused into the ARD dispatch)
-    must equal smooth_tile(process_tile(raw)) exactly — including under
-    date-capacity bucketing where pad slots are invalid."""
+    must equal smooth_tile(process_tile(raw)) — masking outputs and
+    dates exactly; the smoothed monthly cube to one float ulp. The
+    fused path contracts the composed (12, T) smoothing operator over
+    the fixed-capacity date axis (dropped slots carry exact zero
+    weights), while the standalone path contracts over the compacted
+    axis — mathematically identical, but XLA's reduction-tree grouping
+    of the real terms shifts around interior zero slots, so results
+    agree to the last ulp rather than bitwise."""
     from ttc.preprocess.ard import process_and_smooth_tile
 
     backend = FixtureBackend(seed=4, n_dates=9, hw=64)
@@ -126,9 +132,9 @@ def test_fused_smooth_matches_two_stage():
                                   np.asarray(tile_b.s2))
     np.testing.assert_array_equal(tile_a.dates, tile_b.dates)
     for f in ("s2", "s2_median", "s1_median", "clear_count"):
-        np.testing.assert_array_equal(
+        np.testing.assert_allclose(
             np.asarray(getattr(sm_a, f)), np.asarray(getattr(sm_b, f)),
-            err_msg=f)
+            rtol=0, atol=4e-7, err_msg=f)
 
 
 def test_prepped_device_arrays_match_raw_path():

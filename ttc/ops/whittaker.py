@@ -59,3 +59,25 @@ class WhittakerSmoother:
         group = self.size // self.outsize
         x = x.reshape((self.outsize, group) + x.shape[1:])
         return jnp.mean(x, axis=1)
+
+    def monthly_weights(self, regrid_w):
+        """Compose regrid + smooth + monthly-mean into ONE (outsize, T)
+        operator: [P @ (I + lambda D'D)^-1] @ W. Everything in the
+        chain is linear along the step axis, so applying the composed
+        matrix equals regrid -> smooth -> pair-mean — WITHOUT
+        materializing the (24, H, W, C) intermediate, whose narrow
+        trailing band dim draws a lane-padded TPU layout that costs
+        ~13x its logical size in HBM at production geometry.
+
+        P @ A^-1 is precomputed host-side (one fixed f32 constant) so
+        the single runtime matmul is per-column deterministic: padded
+        and compacted date axes produce bit-identical valid columns,
+        preserving the exact np.delete-equivalence contract
+        (tests/test_clouds_validity.py, test_fused_smooth_*)."""
+        group = self.size // self.outsize
+        p = np.repeat(np.eye(self.outsize, dtype=np.float32),
+                      group, axis=1) / group             # (12, 24)
+        pa = (p @ self.matrix).astype(np.float32)        # (12, 24)
+        return jnp.matmul(jnp.asarray(pa),
+                          jnp.asarray(regrid_w, jnp.float32),
+                          precision="highest")           # (12, T)

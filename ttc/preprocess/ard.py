@@ -157,9 +157,11 @@ def _ingest(s2_10, s2_20, s1, dem, s1_weights=None, wire_sc=None):
         if lin.shape[1] != dem.shape[0]:       # native 20 m wire
             lin = resize_bilinear(lin, dem.shape[:2])
         db = to_db(lin, 22)
-        s24 = apply_regrid(db, s1_weights)
-        # 24 biweekly -> 12 monthly: median of each pair == pair mean
-        s1 = 0.5 * (s24[0::2] + s24[1::2])
+        # 24 biweekly -> 12 monthly: median of each pair == pair mean;
+        # composed into the regrid matrix so the (24, H, W, 2)
+        # intermediate (lane-padded ~64x on TPU) never materializes
+        s1 = apply_regrid(db, 0.5 * (s1_weights[0::2]
+                                     + s1_weights[1::2]))
     elif s1.dtype == jnp.uint16:
         s1 = to_db(from_uint16(s1), 22)
     else:
@@ -690,12 +692,16 @@ def _smooth_body(s2, s1, interp, weights, valid=None):
     weights are zero and interp rows are 1, so only the raw medians
     need explicit masking)."""
     raw_idx = idx_ops.all_indices(s2)
-    regridded_idx = apply_regrid(raw_idx, weights)
     sm = WhittakerSmoother(lmbd=100.0, size=24, outsize=12)
-    indices_monthly = sm.interpolate_array(regridded_idx)
-
-    regridded = apply_regrid(s2, weights)
-    bands_monthly = sm.interpolate_array(regridded)
+    # composed (12, T) regrid+Whittaker+monthly operator: the (24, H,
+    # W, C) biweekly intermediates never materialize (their narrow
+    # band dims draw ~13x lane-padded layouts -> HBM OOM at B>=2).
+    # The barrier stops XLA from re-associating the matmul chain back
+    # into per-program variants (which broke the bit-exact
+    # padded==compacted date-axis contract by one ulp)
+    cw = jax.lax.optimization_barrier(sm.monthly_weights(weights))
+    indices_monthly = apply_regrid(raw_idx, cw)
+    bands_monthly = apply_regrid(s2, cw)
 
     out = jnp.concatenate([bands_monthly, indices_monthly], axis=-1)
 
