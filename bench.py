@@ -81,6 +81,25 @@ def _raw_tile(seed: int, cloud_fraction: float = 0.05):
     return raw
 
 
+def _bounded_futures(pool, fn, items, window: int):
+    """Sliding-window submission: at most `window` prepared payloads in
+    flight (an eager submit-all lets the prefetch threads accumulate
+    every tile's wire arrays in host RAM)."""
+    from collections import deque
+
+    pending = deque()
+    it = iter(items)
+    while True:
+        while len(pending) < window:
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            pending.append(pool.submit(fn, nxt))
+        if not pending:
+            return
+        yield pending.popleft()
+
+
 def _build_predictor(tile_batch: int = 1):
     from ttc.core.config import InferenceConfig
     from ttc.infer.pipeline import TilePredictor
@@ -137,8 +156,7 @@ def run_full(n_tiles: int = 5, warmup: bool = True,
     if pipelined:
         t_all0 = time.perf_counter()
         with cf.ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [pool.submit(prep, raw) for raw in raws[1:]]
-            for fut in futs:
+            for fut in _bounded_futures(pool, prep, raws[1:], 3):
                 t0 = time.perf_counter()
                 predict(fut.result())
                 times.append(time.perf_counter() - t0)
@@ -207,9 +225,8 @@ def run_full_grouped(n_tiles: int = 8, tile_batch: int = TILE_BATCH,
 
     t0 = time.perf_counter()
     with cf.ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(prep, raw) for raw in raws]
         group = []
-        for fut in futs:
+        for fut in _bounded_futures(pool, prep, raws, tile_batch + 2):
             group.append(fut.result())
             if len(group) == tile_batch:
                 predict_group(group)
@@ -268,9 +285,8 @@ def run_sustained(n_tiles: int = 64, tile_batch: int = TILE_BATCH,
     t0 = time.perf_counter()
     done = 0
     with cf.ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(prep, raw) for raw in raws]
         group = []
-        for fut in futs:
+        for fut in _bounded_futures(pool, prep, raws, tile_batch + 2):
             group.append(fut.result())
             if len(group) == tile_batch:
                 done += len(predict_group(group))

@@ -348,14 +348,36 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
     results = {}
     n_exceptions = 0
     group = []
+    todo = []
+    for xyb in norm_tiles:
+        if store.tile_done(year, xyb[0], xyb[1]):
+            log.info("tile %s/%s already done, skipping",
+                     xyb[0], xyb[1])
+            continue
+        todo.append(xyb)
+
+    def _bounded_futures(pool):
+        """At most tile_batch + prefetch_depth prepares in flight:
+        submitting every tile up front lets the prefetch threads run
+        arbitrarily far ahead of the device and accumulate the whole
+        run's wire payloads in host RAM (measured 14+ GB on a 64-tile
+        stream)."""
+        from collections import deque
+
+        window = max(tb, 1) + prefetch_depth
+        pending = deque()
+        it = iter(todo)
+        while True:
+            while len(pending) < window:
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                pending.append((nxt, pool.submit(_prepare, nxt)))
+            if not pending:
+                return
+            yield pending.popleft()
+
     with cf.ThreadPoolExecutor(max_workers=prefetch_depth) as pool:
-        futures = []
-        for xyb in norm_tiles:
-            if store.tile_done(year, xyb[0], xyb[1]):
-                log.info("tile %s/%s already done, skipping",
-                         xyb[0], xyb[1])
-                continue
-            futures.append((xyb, pool.submit(_prepare, xyb)))
         def _flush(members):
             """Run _finish_group, containing failures: a device-side
             group failure abandons every member (all unwritten, so each
@@ -375,7 +397,7 @@ def run_tiles_pipelined(tiles, year, backend, store: TileStore,
                     store.cleanup_tile(g[0], g[1])
                 time.sleep(10 + 5 * n_exceptions)
 
-        for xyb, fut in futures:
+        for xyb, fut in _bounded_futures(pool):
             try:
                 prepared = fut.result()
             except KeyboardInterrupt:
