@@ -295,7 +295,18 @@ def run_sustained(n_tiles: int = 64, tile_batch: int = TILE_BATCH,
             done += len(predict_group(group))
     wall = time.perf_counter() - t0
     assert done == n_tiles, (done, n_tiles)
-    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    # current RSS at end-of-stream (ru_maxrss would report the whole
+    # bench process's lifetime peak, dominated by earlier stages)
+    rss_mb = 0.0
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS"):
+                    rss_mb = float(line.split()[1]) / 1024
+                    break
+    except OSError:
+        rss_mb = resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024
     dev_mb = None
     try:
         stats = jax.devices()[0].memory_stats() or {}
@@ -306,7 +317,7 @@ def run_sustained(n_tiles: int = 64, tile_batch: int = TILE_BATCH,
     return {"sustained_tiles": n_tiles,
             "sustained_tiles_per_sec": round(n_tiles / wall, 4),
             "sustained_wall_seconds": round(wall, 1),
-            "sustained_peak_host_rss_mb": round(rss_mb, 0),
+            "sustained_end_host_rss_mb": round(rss_mb, 0),
             **({"sustained_peak_device_mb": round(dev_mb, 0)}
                if dev_mb else {})}
 
