@@ -456,6 +456,11 @@ class ShardedBlockPredictor:
                 devices = avail[:n]
                 break
         devices = list(devices)
+        if not devices:
+            raise ValueError(
+                f"no device count in 1..{len(jax.devices())} divides "
+                f"the {self.block_cfg.tile_px} px / "
+                f"{self.block_cfg.n_rows}-window-row block geometry")
         self.geom = strip_geometry(self.block_cfg, len(devices))
         self.mesh = Mesh(np.array(devices), (AXIS,))
         width = self.block_cfg.tile_px
