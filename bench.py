@@ -665,7 +665,7 @@ def main():
         sub["reference_masker_seconds_1core"] = round(
             cpu["reference_masker_seconds"], 2)
 
-    print(json.dumps({
+    full = {
         "metric": "full pipeline raw->raster (618px tile: ARD "
                   "masking+gapfill+Whittaker + 36-window ConvGRU U-Net "
                   "+ mosaic)",
@@ -673,6 +673,33 @@ def main():
         "unit": "tiles/sec/chip",
         "vs_baseline": vs_baseline,
         "submetrics": sub,
+    }
+    # artifact of record: the full submetric set survives on disk even
+    # if the driver's tail capture truncates stdout (BENCH_r04 lost its
+    # headline keys to exactly that)
+    with open(os.path.join(HERE, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    # LAST line = compact summary, headline keys first, well under any
+    # tail-capture window — this is the line the driver must parse
+    compact_keys = (
+        "headline_mode", "sustained_tiles_per_sec",
+        "grouped_tiles_per_sec", "pipelined_tiles_per_sec",
+        "serial_tiles_per_sec", "degraded_tiles_per_sec",
+        "device_resident_tiles_per_sec", "infer_only_tiles_per_sec",
+        "upload_mb_per_tile", "upload_mb_per_sec",
+        "host_encode_seconds_per_tile",
+        "change_seconds_per_tile", "change_kde_seconds_per_tile",
+        "change_detect_seconds_per_tile",
+        "sustained_end_host_rss_mb", "mfu_vs_v5e_bf16_peak_pct",
+        "reseg_seconds_per_pair", "multiyear_seconds_per_tile_year",
+        "weights")
+    print(json.dumps({
+        "metric": "full pipeline raw->raster (618px tile)",
+        "value": round(headline, 4),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": vs_baseline,
+        "submetrics": {k: sub[k] for k in compact_keys if k in sub},
     }))
 
 
