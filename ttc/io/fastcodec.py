@@ -44,6 +44,12 @@ def _load():
     lib.fc_f32_to_u16.restype = None
     lib.fc_f32_to_u16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_size_t, ctypes.c_int]
+    if hasattr(lib, "fc_encode_s2_compact"):
+        lib.fc_encode_s2_compact.restype = None
+        lib.fc_encode_s2_compact.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
     _lib = lib
     return lib
 
@@ -116,6 +122,31 @@ def u16_to_f32(arr: np.ndarray, n_threads: int | None = None) -> np.ndarray:
                       out.ctypes.data_as(ctypes.c_void_p), arr.size,
                       n_threads)
     return out
+
+
+def encode_s2_compact_native(stack_u16: np.ndarray,
+                             n_threads: int | None = None):
+    """Native compact-wire S2 encode (see ttc/io/wire.py for the
+    format contract and the encoder-equivalence note). Returns
+    (data, sc) like wire.encode_s2_compact, or None when the library
+    isn't built (callers fall back to numpy). The fused C++ pass
+    replaces ~1.9 s/tile of numpy temporaries with ~0.4 s at
+    production geometry on the 1-core host."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_encode_s2_compact"):
+        return None
+    n_threads = n_threads or os.cpu_count() or 1
+    stack = np.ascontiguousarray(stack_u16, np.uint16)
+    t, h, w, b = stack.shape
+    if t > 64 or b > 64:
+        return None                      # fixed native scratch bound
+    data = np.empty((t + 1, h, w, b), np.int8)
+    sc = np.empty((t + 2, b), np.float32)
+    lib.fc_encode_s2_compact(
+        stack.ctypes.data_as(ctypes.c_void_p), t, h, w, b,
+        data.ctypes.data_as(ctypes.c_void_p),
+        sc.ctypes.data_as(ctypes.c_void_p), n_threads)
+    return data, sc
 
 
 def f32_to_u16(arr: np.ndarray, n_threads: int | None = None) -> np.ndarray:

