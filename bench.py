@@ -404,6 +404,23 @@ def run_infer_only(n_iters: int = 8, warmup: int = 2,
     return 1.0 / dt, dt, args, predictor
 
 
+def measure_host_encode(n: int = 3):
+    """Warm host_prepare(wire="compact") seconds/tile — the host-side
+    encode floor the native fastcodec encoder attacks (round-4 verdict:
+    ~1.0 s/tile numpy; native ~0.45 s)."""
+    from ttc.io.fastcodec import available
+    from ttc.preprocess.ard import host_prepare
+
+    raw = _raw_tile(0)
+    host_prepare(raw, wire="compact")          # allocator warmup
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        host_prepare(raw, wire="compact")
+        times.append(time.perf_counter() - t0)
+    return float(np.mean(times)), available()
+
+
 def measure_upload(n: int = 3):
     """Host->device transfer of one tile's raw wire payload, synced via
     a dependent readback (block_until_ready returns before the axon
@@ -589,6 +606,7 @@ def main():
     mfu = measure_mfu(ipred, iargs, idt)
     upload_mb, upload_times = measure_upload()
     dev_times = run_device_resident(shared[0])
+    enc_s, enc_native = measure_host_encode()
 
     # headline = the best production mode: grouped (tile-batched),
     # per-tile pipelined, or serial — the 1-core host + shared tunnel
@@ -632,6 +650,8 @@ def main():
         "upload_seconds_mean": round(float(np.mean(upload_times)), 3),
         "upload_mb_per_sec": round(
             upload_mb / float(np.mean(upload_times)), 1),
+        "host_encode_seconds_per_tile": round(enc_s, 3),
+        "host_encode_native": enc_native,
         "device_resident_seconds_per_tile": round(
             float(np.mean(dev_times)), 3),
         "device_resident_tiles_per_sec": round(
