@@ -323,13 +323,19 @@ def run_sustained(n_tiles: int = 64, tile_batch: int = TILE_BATCH,
 
 
 def run_change(n_years: int = 8, t: int = 72, hw: int = HW,
-               n_iters: int = 1):
-    """Change-detection chain at production scale: KDE percentile
-    calibration (device, ttc.change.kde.make_all_kde — the reference's
-    known CPU hot spot, scipy gaussian_kde per image over 8 years,
-    change.py:245-297) + the full detect_change raster logic on a
-    (72, 618, 618) NDMI stack. Returns per-tile seconds split by
-    stage."""
+               n_iters: int = 1, device: bool = True):
+    """Change-detection chain at production scale on a (72, 618, 618)
+    NDMI stack, timed in the shipped device-resident mode: KDE
+    percentile calibration + anomaly-event/candidate generation in one
+    device program (the exceedance stacks never cross the host link;
+    ttc.change.kde + ttc.change.device — the reference's CPU hot spots,
+    change.py:245-297 and :310-423), the pct percentile raster read
+    back as uint8 (consumed by the counterfactual filters in
+    production), then detect_change's host label refinement.
+    device=False times the host candidate path instead (the
+    --cpu-baseline denominator). Returns per-tile seconds by stage:
+    kde = everything device incl. readbacks, detect = host numpy."""
+    from ttc.change.device import candidates_device
     from ttc.change.kde import make_all_kde
     from ttc.change.pipeline import detect_change
 
@@ -341,17 +347,38 @@ def run_change(n_years: int = 8, t: int = 72, hw: int = HW,
     stable = rng.random((hw, hw)) < 0.3
     fs = (rng.random((n_years, hw, hw)) * 100).astype(np.float32)
 
-    make_all_kde(ndmi, stable)                      # warm compile
+    def device_stage():
+        kde5, kde10, kde25, kde2, pct = make_all_kde(ndmi, stable,
+                                                     readback=False)
+        cands = candidates_device(kde5, kde10, kde25, kde2, dates,
+                                  n_years)
+        # production reads pct back for the counterfactual filters
+        np.asarray(pct)
+        return cands
+
     kde_s, det_s = [], []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        kde5, kde10, kde25, kde2, _ = make_all_kde(ndmi, stable)
-        t1 = time.perf_counter()
-        detect_change(kde5.astype(np.int16), kde10.astype(np.int16),
-                      kde25.astype(np.int16), kde2.astype(np.int16),
-                      dates, fs)
-        kde_s.append(t1 - t0)
-        det_s.append(time.perf_counter() - t1)
+    if device:
+        device_stage()                              # warm compile
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            cands = device_stage()
+            t1 = time.perf_counter()
+            detect_change(None, None, None, None, dates, fs,
+                          candidates=cands)
+            kde_s.append(t1 - t0)
+            det_s.append(time.perf_counter() - t1)
+    else:
+        make_all_kde(ndmi, stable)                  # warm compile
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            kde5, kde10, kde25, kde2, _ = make_all_kde(ndmi, stable)
+            t1 = time.perf_counter()
+            detect_change(kde5.astype(np.int16),
+                          kde10.astype(np.int16),
+                          kde25.astype(np.int16),
+                          kde2.astype(np.int16), dates, fs)
+            kde_s.append(t1 - t0)
+            det_s.append(time.perf_counter() - t1)
     return {"change_kde_seconds_per_tile": round(
                 float(np.mean(kde_s)), 3),
             "change_detect_seconds_per_tile": round(
@@ -551,7 +578,7 @@ def main():
                                          tile_batch=1)
         baseline["cpu_tiles_per_sec"] = itps
         baseline["seconds_per_tile"] = idt
-        ch = run_change(n_iters=1)
+        ch = run_change(n_iters=1, device=False)
         baseline["cpu_change_seconds_per_tile"] = \
             ch["change_seconds_per_tile"]
         baseline["cpu_change_kde_seconds_per_tile"] = \
@@ -665,7 +692,7 @@ def main():
         "runnable in this image",
     }
     sub.update(sustained)
-    sub.update(run_change())
+    sub.update(run_change(n_iters=2))
     sub["mfu_note"] = (
         "model is VPU/bandwidth-bound, not MXU-bound: both remaining "
         "levers measured in round 4 — (a) Pallas epilogue fusion of "

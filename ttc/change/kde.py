@@ -105,29 +105,38 @@ def _calibrate_stack(ard_f32, samples, n_valid, h, multiplier):
 
 def _sample_stable(ard, stable, maxpx: int, seed: int):
     """Per-tile stable-pixel sample rows, padded/tiled to exactly
-    `maxpx` columns so multi-tile batches share one shape."""
-    stable_px = ard[:, stable]                       # (T, n_stable)
-    n = stable_px.shape[1]
+    `maxpx` columns so multi-tile batches share one shape. Samples
+    flat indices first and gathers only those columns — identical
+    values/order to `ard[:, stable][:, sample_idx]` (boolean indexing
+    enumerates True positions in row-major flatnonzero order) without
+    materializing the (T, n_stable) intermediate."""
+    flat = np.flatnonzero(np.asarray(stable).ravel())
+    n = flat.shape[0]
     rng = np.random.default_rng(seed)
     sample_idx = rng.integers(0, n, min(maxpx, n))
-    return stable_px[:, sample_idx]                  # (T, S<=maxpx)
+    t = ard.shape[0]
+    return ard.reshape(t, -1)[:, flat[sample_idx]]   # (T, S<=maxpx)
 
 
 def make_all_kde(ard, stable, maxpx: int = 36000,
-                 multiplier: float = 1.0, seed: int = 0):
+                 multiplier: float = 1.0, seed: int = 0,
+                 readback: bool = True):
     """(T, H, W) int16 NDMI stack + (H, W) stable mask ->
     (kde5, kde10, kde25, kde2.5, percentiles) stacks
     (reference make_all_kde :271-297). The reference evaluates scipy
     gaussian_kde per image in a Python loop; here the whole stack is
     calibrated in one jitted device call — the single-tile case of
     make_all_kde_many, so fleets can batch tiles with identical
-    per-tile results."""
+    per-tile results. readback=False keeps the stacks on device (see
+    make_all_kde_many)."""
     return make_all_kde_many([ard], [stable], maxpx=maxpx,
-                             multiplier=multiplier, seed=seed)[0]
+                             multiplier=multiplier, seed=seed,
+                             readback=readback)[0]
 
 
 def make_all_kde_many(ards, stables, maxpx: int = 36000,
-                      multiplier: float = 1.0, seed: int = 0):
+                      multiplier: float = 1.0, seed: int = 0,
+                      readback: bool = True):
     """Multi-tile KDE calibration in ONE device dispatch.
 
     ards: list of (T_i, H, W) NDMI stacks (shared spatial geometry);
@@ -139,7 +148,13 @@ def make_all_kde_many(ards, stables, maxpx: int = 36000,
     get +inf-padded sample rows with the real count threaded through
     (ndtr -> 0; bandwidth and mean use the true n), so mixed-size
     tiles share one compiled shape. Amortizes dispatch/readback
-    latency when the change fleet processes tiles in groups."""
+    latency when the change fleet processes tiles in groups.
+
+    readback=False keeps the four boolean exceedance stacks (and pct)
+    ON DEVICE as jax array slices — ~137 MB/tile that the
+    device-resident candidate stage (ttc.change.device) consumes
+    without ever crossing the host link; callers np.asarray exactly
+    what they need (the pct raster decodes to fractions via /100)."""
     counts = [np.asarray(a).shape[0] for a in ards]
     samples, n_valid = [], []
     for i, (a, st) in enumerate(zip(ards, stables)):
@@ -163,11 +178,14 @@ def make_all_kde_many(ards, stables, maxpx: int = 36000,
     start = 0
     for t in counts:
         sl = slice(start, start + t)
-        # uint8-percent wire -> f32 fractions (exact: 5%-step values
-        # round-trip bit-identically through /100)
-        pct_f = np.asarray(pct[sl]).astype(np.float32) \
-            / np.float32(100.0)
-        outs.append((np.asarray(f[sl]), np.asarray(m[sl]),
-                     np.asarray(b[sl]), np.asarray(h[sl]), pct_f))
+        if not readback:
+            outs.append((f[sl], m[sl], b[sl], h[sl], pct[sl]))
+        else:
+            # uint8-percent wire -> f32 fractions (exact: 5%-step
+            # values round-trip bit-identically through /100)
+            pct_f = np.asarray(pct[sl]).astype(np.float32) \
+                / np.float32(100.0)
+            outs.append((np.asarray(f[sl]), np.asarray(m[sl]),
+                         np.asarray(b[sl]), np.asarray(h[sl]), pct_f))
         start += t
     return outs

@@ -236,26 +236,37 @@ def validate_ard(n_imgs_per_year, ard_means_or_stack, dates=None):
 
 
 def detect_change(kde5, kde10, kde25, kde2, dates, fs,
-                  adjustments=None):
+                  adjustments=None, candidates=None):
     """Full per-tile change detection: percentile stacks + per-year TTC
     rasters fs (N_years, H, W) -> (gain_year, loss_year) uint8 rasters
     (0 = no event, k = event in START_YEAR + k)
-    (reference change.py:507-649 main flow)."""
+    (reference change.py:507-649 main flow).
+
+    `candidates` (optional): precomputed (gain, loss, ndmiloss)
+    float32 candidate stacks of shape (n_years - 1, H, W) — the
+    device candidate stage (ttc.change.device.candidates_device,
+    bit-identical to the host stage below) lets kde* be None and
+    skips ~6 s/tile of host numpy."""
     n_years = fs.shape[0]
     if adjustments is None:
         adjustments = np.zeros(n_years)
     ff = temporal_filter(fs.astype(np.float32))
 
     years = range(2018, START_YEAR + n_years)
-    ev = precompute_events(kde5, kde10, kde25, kde2)
-    gain = np.stack([identify_gain_in_year(kde5, kde10, dates, yr,
-                                           events=ev)
-                     for yr in years]).astype(np.float32)
-    loss_pairs = [identify_loss_in_year(kde5, kde10, kde25, kde2,
-                                        dates, yr, events=ev)
-                  for yr in years]
-    loss = np.stack([p[0] for p in loss_pairs]).astype(np.float32)
-    ndmiloss = np.stack([p[1] for p in loss_pairs]).astype(np.float32)
+    if candidates is not None:
+        gain, loss, ndmiloss = (np.asarray(c, np.float32).copy()
+                                for c in candidates)
+    else:
+        ev = precompute_events(kde5, kde10, kde25, kde2)
+        gain = np.stack([identify_gain_in_year(kde5, kde10, dates, yr,
+                                               events=ev)
+                         for yr in years]).astype(np.float32)
+        loss_pairs = [identify_loss_in_year(kde5, kde10, kde25, kde2,
+                                            dates, yr, events=ev)
+                      for yr in years]
+        loss = np.stack([p[0] for p in loss_pairs]).astype(np.float32)
+        ndmiloss = np.stack([p[1] for p in loss_pairs]).astype(
+            np.float32)
 
     # end-year candidates (reference :517-533)
     adj_end = float(np.clip(50 - adjustments[-1], 40, 80))

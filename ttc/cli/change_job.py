@@ -168,13 +168,25 @@ def run_change(local_path: str, x: int, y: int, start_year: int,
     adjustments = prep["adjustments"]
 
     if kde is None:
-        kde = make_all_kde(ndmi_stack, stable)
+        # device-resident default: the four ~110 MB boolean stacks
+        # never cross the host link; candidates compute on device
+        # (bit-identical to the host stage, tests/test_change_device)
+        kde = make_all_kde(ndmi_stack, stable, readback=False)
     kde5, kde10, kde25, kde2, pct = kde
-    gain, loss = detect_change(kde5.astype(np.int16),
-                               kde10.astype(np.int16),
-                               kde25.astype(np.int16),
-                               kde2.astype(np.int16), dates, fs,
-                               adjustments)
+    if isinstance(kde5, np.ndarray):
+        gain, loss = detect_change(kde5.astype(np.int16),
+                                   kde10.astype(np.int16),
+                                   kde25.astype(np.int16),
+                                   kde2.astype(np.int16), dates, fs,
+                                   adjustments)
+    else:
+        from ttc.change.device import candidates_device
+
+        cands = candidates_device(kde5, kde10, kde25, kde2, dates,
+                                  fs.shape[0])
+        gain, loss = detect_change(None, None, None, None, dates, fs,
+                                   adjustments, candidates=cands)
+        pct = np.asarray(pct).astype(np.float32) / np.float32(100.0)
 
     # time-series gain filtering with slope-stratified counterfactuals
     # (reference change_job flow; change.py:661-1225)
@@ -239,7 +251,8 @@ def run_change_batch(local_path: str, coords: list, start_year: int,
     if not preps:
         return []
     kdes = make_all_kde_many([p["ndmi"] for p in preps],
-                             [p["stable"] for p in preps])
+                             [p["stable"] for p in preps],
+                             readback=False)
     results = []
     for (x, y), prep, kde in zip(ok_coords, preps, kdes):
         results.append(run_change(local_path, x, y, start_year,
