@@ -48,6 +48,18 @@ def _predictor(tile_batch=1):
         params, cfg, model
 
 
+def _vm_rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS"):
+                    return float(line.split()[1]) / 1024
+    except OSError:
+        return resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024
+    return 0.0
+
+
 def test_sustained_64_tiles_pipelined(tmp_path):
     from ttc.cli.predict_job import run_tiles_pipelined
     from ttc.io.acquisition import FixtureBackend
@@ -57,10 +69,25 @@ def test_sustained_64_tiles_pipelined(tmp_path):
     backend = FixtureBackend(seed=1, n_dates=6, hw=HW)
     tiles = [(x, y) for x in range(8) for y in range(8)]     # 64
 
+    # sample RSS through the stream: the pipeline's bounded prefetch
+    # must hold the working set flat — a leak shows as second-half
+    # samples ramping past the first half
+    samples: list = []
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.is_set():
+            samples.append(_vm_rss_mb())
+            stop.wait(0.5)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
     t0 = time.perf_counter()
     results = run_tiles_pipelined(tiles, 2023, backend, store,
                                   predictor)
     wall = time.perf_counter() - t0
+    stop.set()
+    th.join(timeout=5)
     assert sorted(results) == tiles
     for x, y in tiles:
         assert os.path.exists(store.final_tif_path(x, y)), (x, y)
@@ -68,6 +95,13 @@ def test_sustained_64_tiles_pipelined(tmp_path):
     print(f"sustained 64 tiles: {64 / wall:.2f} tiles/sec "
           f"({wall:.0f}s wall), peak RSS {rss_mb:.0f} MB")
     assert 64 / wall > 0.05          # sanity floor only; CI varies
+    if len(samples) >= 8:
+        half = len(samples) // 2
+        first, second = max(samples[:half]), max(samples[half:])
+        # plateau: second-half peak within 25% + 200 MB of first-half
+        # (allocator jitter allowed; a per-tile leak of even ~10 MB
+        # over 32 second-half tiles would blow through this)
+        assert second <= first * 1.25 + 200, (first, second)
 
 
 def test_sustained_64_tiles_mesh_stream():
