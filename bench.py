@@ -409,6 +409,76 @@ def run_change(n_years: int = 8, t: int = 72, hw: int = HW,
                 float(np.mean(kde_s) + np.mean(det_s)), 3)}
 
 
+def run_reseg(predictor, n_iters: int = 2):
+    """Resegmentation strip re-prediction at production geometry
+    (VERDICT r4 item 8): two adjacent 618 px tiles' stored border ARD
+    bundles -> stitched strip tile -> windowed forward -> artifact
+    gate + blend (ttc.infer.reseg; reference:
+    src/resegment_tiles_wide.py:847-1163). Returns seconds per
+    repaired pair, timed warm (the strip program is compiled once,
+    as in a production grid pass)."""
+    import tempfile
+
+    from ttc.infer.reseg import (ard_strip_predictor, resegment_pair,
+                                 save_border_strips)
+    from ttc.io.store import TileStore
+    from ttc.preprocess.ard import host_prepare, process_tile
+
+    sms = []
+    for s in (0, 1):
+        prep = host_prepare(_raw_tile(s), wire="compact")
+        _, sm = process_tile(prepped=prep, smooth=True)
+        sms.append(sm)
+    # planted seam: flat rasters at different levels
+    left = np.full((HW, HW), 70, np.uint8)
+    right = np.full((HW, HW), 20, np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        store = TileStore(td)
+        for (x, y), sm in zip(((0, 0), (1, 0)), sms):
+            store.make_tile_folders(x, y)
+            save_border_strips(store, x, y, sm)
+
+        def one():
+            fn = ard_strip_predictor(store, (0, 0), (1, 0),
+                                     predictor.params,
+                                     model=predictor.model,
+                                     direction="x", strip_width=158)
+            assert fn is not None
+            _, _, repaired = resegment_pair(left, right, fn,
+                                            strip_width=fn.strip_width)
+            assert repaired
+        one()                                        # warm compile
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            one()
+            times.append(time.perf_counter() - t0)
+    return float(np.mean(times))
+
+
+def run_multiyear(predictor, years=(2020, 2021)):
+    """Multiyear job at production geometry (VERDICT r4 item 8): the
+    full run_multiyear driver (cross-year backfill + ARD + predict +
+    mosaic + tif write) over cached fixture raws, seconds per
+    tile-year (reference: download_and_predict_job_multiyear.py)."""
+    import tempfile
+
+    from ttc.cli.multiyear_job import run_multiyear as _run
+
+    class _CachedBackend:
+        def fetch(self, x, y, bbox, year):
+            return _raw_tile(year % 4)
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        rasters = _run(0, 0, years[0], years[-1], td,
+                       backend=_CachedBackend(), predictor=predictor)
+        wall = time.perf_counter() - t0
+    n = len(range(years[0], years[-1] + 1))
+    assert len(rasters) == n, (len(rasters), n)
+    return wall / n
+
+
 def run_infer_only(n_iters: int = 8, warmup: int = 2,
                    tile_batch: int = 4, predictor=None):
     """Measured window-batch scaling on v5e (618 px, bf16, trained
@@ -767,6 +837,8 @@ def main():
     upload_mb, upload_times = measure_upload()
     dev_times = run_device_resident(shared[0])
     enc_s, enc_native = measure_host_encode()
+    reseg_s = run_reseg(shared[0])
+    multiyear_s = run_multiyear(shared[0])
 
     # headline = the best production mode: grouped (tile-batched),
     # per-tile pipelined, or serial — the 1-core host + shared tunnel
@@ -812,6 +884,8 @@ def main():
             upload_mb / float(np.mean(upload_times)), 1),
         "host_encode_seconds_per_tile": round(enc_s, 3),
         "host_encode_native": enc_native,
+        "reseg_seconds_per_pair": round(reseg_s, 3),
+        "multiyear_seconds_per_tile_year": round(multiyear_s, 3),
         "device_resident_seconds_per_tile": round(
             float(np.mean(dev_times)), 3),
         "device_resident_tiles_per_sec": round(
