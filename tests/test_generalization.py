@@ -85,6 +85,28 @@ def test_shifted_family_generates_distinct_scenes():
     assert edges(cb) > 1.5 * edges(ca), (edges(ca), edges(cb))
 
 
+def test_domain_randomized_family_varies_per_seed():
+    """Every DomainRandomizedBackend seed draws its own generator
+    parameters from ranges spanning both fixed families — the
+    training-mix side of the round-5 domain-randomized retrain."""
+    from ttc.io.forest import DomainRandomizedBackend
+
+    draws = [DomainRandomizedBackend(seed=s, n_dates=6, hw=56)
+             for s in range(8)]
+    assert len({b.blob_radius for b in draws}) > 2
+    assert len({b.cloud_style for b in draws}) == 2
+    assert len({round(b.grass_phase, 1) for b in draws}) > 4
+    for b in draws:
+        assert 3 <= b.blob_radius <= 12
+        assert 0.10 <= b.soft <= 0.50
+        raw = b.fetch(0, 0, None, 2023)
+        assert raw.s2_10.dtype == np.uint16
+    # deterministic per seed
+    b1 = DomainRandomizedBackend(seed=5)
+    b2 = DomainRandomizedBackend(seed=5)
+    assert b1.soft == b2.soft and b1.s1_cal == b2.s1_cal
+
+
 @pytest.mark.slow
 def test_generalization_gap_within_budget():
     from ttc.io.forest import ForestFixtureBackend, ShiftedForestBackend

@@ -55,17 +55,34 @@ def scene_to_patches(sm, canopy, stride: int = 14, in_size: int = 28,
     return np.stack(xs), np.stack(ys).astype(np.float32)
 
 
-def build_split(seeds, hw, n_dates, cloud_fraction, log_every=5):
+FAMILIES = ("forest", "shifted", "random")
+
+
+def _backend_cls(name: str):
+    from ttc.io.forest import (DomainRandomizedBackend,
+                               ForestFixtureBackend,
+                               ShiftedForestBackend)
+
+    return {"forest": ForestFixtureBackend,
+            "shifted": ShiftedForestBackend,
+            "random": DomainRandomizedBackend}[name]
+
+
+def build_split(seeds, hw, n_dates, cloud_fraction, log_every=5,
+                families=("forest",)):
+    """Scenes cycle round-robin over `families` (the round-5
+    domain-randomized training mix: forest + shifted + per-seed
+    randomized — see ttc.io.forest)."""
     import numpy as np
 
-    from ttc.io.forest import ForestFixtureBackend
     from ttc.preprocess.ard import process_tile, smooth_tile
 
     all_x, all_y = [], []
     t0 = time.time()
     for i, seed in enumerate(seeds):
-        backend = ForestFixtureBackend(seed=seed, n_dates=n_dates, hw=hw,
-                                       cloud_fraction=cloud_fraction)
+        cls = _backend_cls(families[i % len(families)])
+        backend = cls(seed=seed, n_dates=n_dates, hw=hw,
+                      cloud_fraction=cloud_fraction)
         raw = backend.fetch(0, 0, None, 2023)
         canopy = backend.canopy(0, 0)
         sm = smooth_tile(process_tile(raw))
@@ -86,6 +103,9 @@ def main():
     ap.add_argument("--hw", type=int, default=110)
     ap.add_argument("--n_dates", type=int, default=10)
     ap.add_argument("--cloud_fraction", type=float, default=0.1)
+    ap.add_argument("--families", default="forest",
+                    help="comma list of scene families to cycle "
+                         "(forest, shifted, random)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -97,14 +117,15 @@ def main():
     import numpy as np  # noqa: F401  (after platform pinning)
 
     os.makedirs(args.out, exist_ok=True)
-    print("building train split...", flush=True)
+    families = tuple(args.families.split(","))
+    print(f"building train split (families={families})...", flush=True)
     train_x, train_y = build_split(
         range(100, 100 + args.train_scenes), args.hw, args.n_dates,
-        args.cloud_fraction)
+        args.cloud_fraction, families=families)
     print("building test split...", flush=True)
     test_x, test_y = build_split(
         range(900, 900 + args.test_scenes), args.hw, args.n_dates,
-        args.cloud_fraction)
+        args.cloud_fraction, families=families)
 
     import numpy as np
 

@@ -211,6 +211,34 @@ class ForestFixtureBackend(FixtureBackend):
         )
 
 
+class DomainRandomizedBackend(ForestFixtureBackend):
+    """Domain-randomized synthetic family: every SEED draws its own
+    generator parameters from ranges spanning (and exceeding) both
+    fixed families, so a training mix containing it sees a continuum
+    of canopy textures, phenologies, noise levels, cloud morphologies
+    and S1 calibrations instead of two point distributions. Held-out
+    seeds are therefore genuinely unseen parameter combinations —
+    the eval side of the round-5 domain-randomized retrain
+    (tests/test_generalization.py; stands in for the reference's
+    real-data validation loop, reference README.md:15)."""
+
+    def __init__(self, seed: int = 0, n_dates: int = 10, hw: int = 110,
+                 cloud_fraction: float = 0.15,
+                 density: float | None = None):
+        super().__init__(seed=seed, n_dates=n_dates, hw=hw,
+                         cloud_fraction=cloud_fraction, density=density)
+        prng = np.random.default_rng([seed, 424242])
+        self.blob_radius = int(prng.integers(3, 13))
+        self.soft = float(prng.uniform(0.10, 0.50))
+        self.grass_phase = float(prng.uniform(40.0, 150.0))
+        self.tree_phase = float(prng.uniform(140.0, 220.0))
+        self.band_noise = float(prng.uniform(0.003, 0.008))
+        self.speckle_shape = float(prng.uniform(3.0, 10.0))
+        self.s1_cal = (float(prng.uniform(0.8, 1.2)),
+                       float(prng.uniform(0.8, 1.2)))
+        self.cloud_style = str(prng.choice(["square", "blob"]))
+
+
 class ShiftedForestBackend(ForestFixtureBackend):
     """Distribution-shifted synthetic family for generalization evals.
 
