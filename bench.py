@@ -469,6 +469,12 @@ def run_multiyear(predictor, years=(2020, 2021)):
         def fetch(self, x, y, bbox, year):
             return _raw_tile(year % 4)
 
+    # warm pass compiles the backfilled date-bucket programs (a
+    # production country run pays those once per process, not per
+    # tile), then a fresh-store timed pass measures steady state
+    with tempfile.TemporaryDirectory() as td:
+        _run(0, 0, years[0], years[-1], td,
+             backend=_CachedBackend(), predictor=predictor)
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()
         rasters = _run(0, 0, years[0], years[-1], td,

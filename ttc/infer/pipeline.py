@@ -62,6 +62,18 @@ def clear_count_mask(clear_window, out_size: int):
     return up[1:-1, 1:-1]
 
 
+@functools.lru_cache(maxsize=64)
+def _compiled_tile_fn(model, cfg: InferenceConfig, batched: bool):
+    """One jitted tile program per (model, geometry): flax modules and
+    InferenceConfig are frozen/hashable, so every TilePredictor with
+    the same architecture + geometry shares ONE XLA program instead of
+    re-tracing per instance (a resegmentation grid pass constructs a
+    predictor per pair — without this cache each pair paid a fresh
+    ~60 s compile)."""
+    fn = predict_tile_batch if batched else predict_tile
+    return jax.jit(functools.partial(fn, model=model, cfg=cfg))
+
+
 class TilePredictor:
     """Compiled tile-inference program.
 
@@ -84,14 +96,8 @@ class TilePredictor:
         self.model = model or TreeCoverNet()
         self.params = params
         self.tile_batch = tile_batch
-        if tile_batch == 1:
-            self._fn = jax.jit(functools.partial(predict_tile,
-                                                 model=self.model,
-                                                 cfg=self.cfg))
-        else:
-            self._fn = jax.jit(functools.partial(predict_tile_batch,
-                                                 model=self.model,
-                                                 cfg=self.cfg))
+        self._fn = _compiled_tile_fn(self.model, self.cfg,
+                                     tile_batch > 1)
 
     def __call__(self, s2_monthly, s1_monthly, slope, s2_median,
                  s1_median, clear_count):
