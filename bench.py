@@ -843,8 +843,17 @@ def main():
     upload_mb, upload_times = measure_upload()
     dev_times = run_device_resident(shared[0])
     enc_s, enc_native = measure_host_encode()
-    reseg_s = run_reseg(shared[0])
-    multiyear_s = run_multiyear(shared[0])
+    # secondary-orchestrator submetrics must never cost the headline:
+    # record the failure string instead of dying (the round-4 artifact
+    # was lost to an output defect; never again to a submetric)
+    try:
+        reseg_s = round(run_reseg(shared[0]), 3)
+    except Exception as exc:                 # pragma: no cover
+        reseg_s = f"failed: {exc}"
+    try:
+        multiyear_s = round(run_multiyear(shared[0]), 3)
+    except Exception as exc:                 # pragma: no cover
+        multiyear_s = f"failed: {exc}"
 
     # headline = the best production mode: grouped (tile-batched),
     # per-tile pipelined, or serial — the 1-core host + shared tunnel
@@ -890,8 +899,8 @@ def main():
             upload_mb / float(np.mean(upload_times)), 1),
         "host_encode_seconds_per_tile": round(enc_s, 3),
         "host_encode_native": enc_native,
-        "reseg_seconds_per_pair": round(reseg_s, 3),
-        "multiyear_seconds_per_tile_year": round(multiyear_s, 3),
+        "reseg_seconds_per_pair": reseg_s,
+        "multiyear_seconds_per_tile_year": multiyear_s,
         "device_resident_seconds_per_tile": round(
             float(np.mean(dev_times)), 3),
         "device_resident_tiles_per_sec": round(
@@ -905,7 +914,10 @@ def main():
         "runnable in this image",
     }
     sub.update(sustained)
-    sub.update(run_change(n_iters=2))
+    try:
+        sub.update(run_change(n_iters=2))
+    except Exception as exc:                 # pragma: no cover
+        sub["change_seconds_per_tile"] = f"failed: {exc}"
     sub["mfu_note"] = (
         "model is VPU/bandwidth-bound, not MXU-bound: both remaining "
         "levers measured in round 4 — (a) Pallas epilogue fusion of "
