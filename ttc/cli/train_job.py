@@ -152,8 +152,10 @@ def main(argv=None):
             best_f1 = max(best_f1, ev["f1"])
 
     wait_for_checkpoints()
+    # final save carries its F1 sidecar so best_step() can consider it
     save_checkpoint(args.checkpoint_dir, cfg.n_epochs, state.params,
-                    opt_state=state.opt_state, metrics=metrics)
+                    opt_state=state.opt_state, metrics=metrics,
+                    f1=float(metrics[5, cfg.n_epochs - 1]))
 
 
 if __name__ == "__main__":
