@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--swa_from", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--select", choices=("aggregate", "worst"),
+                    default="aggregate",
+                    help="checkpoint selection: aggregate test MAE, "
+                         "or the WORST per-family MAE (test scenes "
+                         "cycle families in make_synthetic_dataset "
+                         "seed order; 'worst' prevents one family "
+                         "buying its MAE with another's)")
+    ap.add_argument("--n_families", type=int, default=3)
     args = ap.parse_args()
 
     from ttc.core.compile_cache import enable_persistent_cache
@@ -70,17 +78,37 @@ def main():
                        step=state.step)
     step = make_sharded_train_step(step_fn, make_mesh())
 
+    # per-family patch masks: test scenes cycle families in seed
+    # order and contribute equal patch blocks
+    n_scenes = None
+    per_scene = None
+    if args.select == "worst":
+        # infer the per-scene block size: scenes are equal-sized
+        for cand_scenes in range(args.n_families, len(test_y) + 1,
+                                 args.n_families):
+            if len(test_y) % cand_scenes == 0:
+                n_scenes = cand_scenes
+                per_scene = len(test_y) // cand_scenes
+                break
+        fam_of_patch = np.repeat(np.arange(n_scenes) % args.n_families,
+                                 per_scene)
+
     def score(p):
         ev = evaluate(model, p, test_x, test_y)
         preds = []
         fwd = jax.jit(lambda pp, b: model.apply(pp, b))
         for i in range(0, len(test_x), 64):
             preds.append(np.asarray(fwd(p, test_x[i:i + 64])))
-        mae = float(np.abs(np.concatenate(preds) - test_y).mean())
-        return float(ev["f1"]), mae
+        err = np.abs(np.concatenate(preds) - test_y)
+        if args.select == "worst":
+            fam_mae = [float(err[fam_of_patch == f].mean())
+                       for f in range(args.n_families)]
+            return float(ev["f1"]), max(fam_mae), fam_mae
+        return float(ev["f1"]), float(err.mean()), None
 
-    f1_0, mae_0 = score(state.params)
-    print(f"init: F1 {f1_0:.4f} MAE {mae_0:.4f}", flush=True)
+    f1_0, mae_0, fam_0 = score(state.params)
+    print(f"init: F1 {f1_0:.4f} MAE {mae_0:.4f} fam {fam_0}",
+          flush=True)
     best = (mae_0, dict(f1=f1_0), state.params)
 
     rng = np.random.default_rng(args.seed)
@@ -105,10 +133,10 @@ def main():
                 else swa_init(state.params)
             cands.append(("swa", swa.average))
         for tag, p in cands:
-            f1, mae = score(p)
+            f1, mae, fam = score(p)
             print(f"epoch {epoch} [{tag}]: loss "
                   f"{np.mean(losses):.4f} F1 {f1:.4f} MAE {mae:.4f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+                  f"fam {fam} ({time.time() - t0:.0f}s)", flush=True)
             if f1 >= 0.97 and mae < best[0]:
                 best = (mae, dict(f1=f1, epoch=epoch, tag=tag), p)
                 save_params_npz(args.out, p)
