@@ -755,6 +755,22 @@ def reference_masker_baseline():
     return time.perf_counter() - t0
 
 
+def _stage(name: str):
+    """Progress + hang diagnostics on STDERR (stdout stays parseable):
+    logs the stage start and re-arms a watchdog that dumps all thread
+    stacks if any single stage stalls >20 min — a wedged device RPC
+    then leaves a localizable trace in the driver log instead of a
+    silent missing artifact."""
+    import faulthandler
+    import sys
+
+    print(f"[bench] {time.strftime('%H:%M:%S')} {name}",
+          file=sys.stderr, flush=True)
+    faulthandler.cancel_dump_traceback_later()
+    faulthandler.dump_traceback_later(1200, repeat=False,
+                                      file=sys.stderr)
+
+
 def main():
     import sys
 
@@ -821,25 +837,33 @@ def main():
             "value": round(tps, 4), "unit": "tiles/sec/chip"}))
         return
 
+    _stage("build predictor + warmup")
     shared = _build_predictor()
     # clean-config: pipelined wall-clock over >=5 tiles
+    _stage("pipelined")
     tps, times_pipe, origin = run_full(predictor=shared)
     # serial loop with per-stage wall times (reuse the warm predictor)
+    _stage("serial")
     stages: dict = {}
     stps, times_serial, _ = run_full(warmup=False, pipelined=False,
                                      predictor=shared, stages=stages)
     # shipped fastest mode: tile-batched grouped device dispatches
     # (predict_job --pipelined --tile_batch 4, the production default)
+    _stage("grouped tile_batch")
     grouped_pred = _build_predictor(TILE_BATCH)
     gtps, g_spt, _ = run_full_grouped(predictor=grouped_pred)
     # country-scale sustained stream over the same warm programs
+    _stage("sustained 64")
     sustained = run_sustained(predictor=grouped_pred)
     # degraded-data config (BASELINE config 4): heavy cloud cover
     # exercising the masker relaxation + date-decision paths
+    _stage("degraded")
     dtps, times_deg, _ = run_full(n_tiles=5, predictor=shared,
                                   cloud_fraction=0.5)
+    _stage("infer-only + mfu")
     itps, idt, iargs, ipred = run_infer_only(n_iters=4)
     mfu = measure_mfu(ipred, iargs, idt)
+    _stage("upload + device-resident + encode")
     upload_mb, upload_times = measure_upload()
     dev_times = run_device_resident(shared[0])
     enc_s, enc_native = measure_host_encode()
@@ -847,10 +871,12 @@ def main():
     # record the failure string instead of dying (the round-4 artifact
     # was lost to an output defect; never again to a submetric)
     try:
+        _stage("reseg pair")
         reseg_s = round(run_reseg(shared[0]), 3)
     except Exception as exc:                 # pragma: no cover
         reseg_s = f"failed: {exc}"
     try:
+        _stage("multiyear")
         multiyear_s = round(run_multiyear(shared[0]), 3)
     except Exception as exc:                 # pragma: no cover
         multiyear_s = f"failed: {exc}"
@@ -915,6 +941,7 @@ def main():
     }
     sub.update(sustained)
     try:
+        _stage("change detection")
         sub.update(run_change(n_iters=2))
     except Exception as exc:                 # pragma: no cover
         sub["change_seconds_per_tile"] = f"failed: {exc}"
@@ -937,6 +964,10 @@ def main():
         sub["reference_masker_seconds_1core"] = round(
             cpu["reference_masker_seconds"], 2)
 
+    _stage("writing results")
+    import faulthandler
+
+    faulthandler.cancel_dump_traceback_later()
     full = {
         "metric": "full pipeline raw->raster (618px tile: ARD "
                   "masking+gapfill+Whittaker + 36-window ConvGRU U-Net "
