@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import logging
 
 import jax
@@ -42,9 +43,20 @@ from ttc.train.optim import swa_init, swa_update
 log = logging.getLogger("ttc.train_job")
 
 
+@functools.lru_cache(maxsize=4)
+def _eval_forward(model):
+    # one jitted forward per model config: re-jitting a fresh lambda
+    # every eval call re-traces and re-loads the executable each epoch
+    # (~30 s/epoch through the axon tunnel's server-side compile path)
+    return jax.jit(lambda p, b: model.apply(p, b))
+
+
 def evaluate(model, params, test_x, test_y, batch: int = 32):
+    """test_x may be a numpy array or an on-device jax array; passing
+    `jax.device_put(test_x)` amortizes the test-set upload across the
+    whole epoch loop (it dominates eval wall time on slow host links)."""
     preds = []
-    fwd = jax.jit(lambda p, b: model.apply(p, b))
+    fwd = _eval_forward(model)
     for i in range(0, len(test_x), batch):
         xb = test_x[i:i + batch]
         preds.append(np.asarray(fwd(params, xb)))
@@ -78,6 +90,9 @@ def main(argv=None):
     test_y = np.asarray(np.load(args.test_y), np.float32)
     if test_y.ndim != 3 or test_y.shape[-1] != cfg.out_size:
         test_y = test_y.reshape(-1, cfg.out_size, cfg.out_size)
+    # upload the test set once; per-epoch eval then only moves params
+    # and the small prediction readback over the host link
+    test_x = jax.device_put(test_x)
 
     mesh = make_mesh()
     model = TreeCoverNet(base_filters=cfg.base_filters,
