@@ -157,14 +157,18 @@ def main(argv=None):
         log.info("epoch %d: F1 %.3f (thresh %.2f) error %.2f", epoch,
                  ev["f1"], ev["threshold"], ev["error"])
 
-        if ev["f1"] > best_f1 - 0.02:
-            # async: the write commits on a background thread while the
-            # next epoch's device work proceeds
-            save_checkpoint(args.checkpoint_dir, epoch,
-                            eval_params, opt_state=state.opt_state,
-                            metrics=metrics, f1=ev["f1"],
-                            async_save=True)
-            best_f1 = max(best_f1, ev["f1"])
+        # save EVERY epoch (async: the write commits on a background
+        # thread while the next epoch's device work proceeds).
+        # Selection still picks the best F1 via the .f1 sidecars;
+        # unconditional saves make crash-resume lossless across the
+        # mid-schedule regularization valley, where the old
+        # `f1 > best - 0.02` gate could go dozens of epochs without
+        # writing a resumable step.
+        save_checkpoint(args.checkpoint_dir, epoch,
+                        eval_params, opt_state=state.opt_state,
+                        metrics=metrics, f1=ev["f1"],
+                        async_save=True)
+        best_f1 = max(best_f1, ev["f1"])
 
     wait_for_checkpoints()
     # final save carries its F1 sidecar so best_step() can consider it
