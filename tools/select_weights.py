@@ -29,7 +29,16 @@ GATE_SEEDS = {"forest": (970, 971), "shifted": (980, 981),
 
 
 def build_gate_patches():
+    """Gate scenes are deterministic per (family, seed); cache the
+    assembled 5-step patches on disk so candidate-selection reruns
+    skip the ~3 min scene synthesis."""
     import numpy as np
+
+    cache = os.path.join(HERE, ".bench_cache", "gate_scenes_v1.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return {fam: (d[f"{fam}_x"], d[f"{fam}_y"])
+                for fam in GATE_SEEDS}
 
     from eval_weights import _patches
 
@@ -51,6 +60,10 @@ def build_gate_patches():
             np.median(monthly, axis=1),
         ], axis=1).astype(np.float32)
         out[fam] = (x5, labels)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez_compressed(cache, **{f"{fam}_{k}": v
+                                  for fam, (x, y) in out.items()
+                                  for k, v in (("x", x), ("y", y))})
     return out
 
 
